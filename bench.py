@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Headline benchmark — ViT-B/16 @224 full training step on one TPU chip.
+
+Runs the flagship configuration (4-channel RGB+mask input, metadata fusion,
+asymmetric focal loss, AdamW+LLRD, EMA, MixUp/CutMix — the reference's
+production recipe, train.py:95-168) as one compiled step and reports
+steady-state images/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+vs_baseline compares against the measured reference-equivalent PyTorch
+train-step throughput on this host (bench_baseline.py; the reference itself
+publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fedvit_tpu.core.config import from_dict
+    from fedvit_tpu.models import build_model
+    from fedvit_tpu.train.losses import build_loss
+    from fedvit_tpu.train.optim import build_optimizer
+    from fedvit_tpu.train.state import TrainState
+    from fedvit_tpu.train.step import make_train_step
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    batch_candidates = [256, 128, 64] if on_tpu else [16]
+    steps = 20 if on_tpu else 3
+
+    cfg = from_dict({
+        "model": {
+            "backbone": "vit_base_patch16_224",
+            "image_size": 224,
+            "compute_dtype": "bfloat16",
+            "drop_path_rate": 0.1,
+            "metadata": {"enabled": True},
+        },
+        "data": {"use_segmentation_mask": True},
+        "training": {
+            "batch_size": batch_candidates[0],
+            "gradient_accumulation_steps": 1,
+            "optimizer": {"lr": 1e-4},
+            "llrd": {"enabled": True, "decay_rate": 0.75},
+            "ema": {"enabled": True, "decay": 0.9995},
+            "grad_clip": 1.0,
+        },
+        "augmentation": {"mixup": {"enabled": True, "alpha": 0.4},
+                         "cutmix": {"enabled": True, "alpha": 1.0, "prob": 0.7}},
+        "loss": {"type": "asymmetric"},
+    })
+
+    model = build_model(cfg)
+    rng = jax.random.key(0)
+    init_x = jnp.zeros((2, 224, 224, 4), jnp.float32)
+    init_m = jnp.zeros((2, 13), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, init_x, init_m)
+    loss_fn = build_loss(cfg)
+    tx, _ = build_optimizer(cfg, variables["params"], steps_per_epoch=100)
+
+    best = None
+    for bs in batch_candidates:
+        try:
+            state = TrainState.create(model.apply, variables["params"],
+                                      variables["batch_stats"], tx,
+                                      jax.random.key(1))
+            train_step = make_train_step(cfg, loss_fn, donate=False)
+            data_rng = np.random.default_rng(0)
+            batch = {
+                "image": jnp.asarray(
+                    data_rng.uniform(size=(bs, 224, 224, 4)).astype(np.float32)),
+                "label": jnp.asarray(
+                    data_rng.integers(0, 8, size=(bs,)).astype(np.int32)),
+                "metadata": jnp.asarray(
+                    data_rng.uniform(size=(bs, 13)).astype(np.float32)),
+            }
+            # compile + warmup
+            state, m = train_step(state, batch)
+            jax.block_until_ready(m["loss"])
+            state, m = train_step(state, batch)
+            jax.block_until_ready(m["loss"])
+
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, m = train_step(state, batch)
+            jax.block_until_ready(m["loss"])
+            dt = time.perf_counter() - t0
+            ips = bs * steps / dt
+            print(f"[bench] bs={bs}: {ips:.1f} img/s "
+                  f"({dt/steps*1000:.1f} ms/step)", file=sys.stderr)
+            if best is None or ips > best[1]:
+                best = (bs, ips)
+        except Exception as e:  # OOM at large batch → back off
+            print(f"[bench] bs={bs} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+
+    if best is None:
+        print(json.dumps({"metric": "vit_b16_224_train_images_per_sec_per_chip",
+                          "value": 0.0, "unit": "images/sec",
+                          "vs_baseline": 0.0, "error": "all batch sizes failed"}))
+        return
+
+    try:
+        from bench_baseline import get_baseline
+        baseline = get_baseline()["value"]
+    except Exception as e:
+        print(f"[bench] baseline measurement failed: {e}", file=sys.stderr)
+        baseline = None
+
+    result = {
+        "metric": "vit_b16_224_train_images_per_sec_per_chip",
+        "value": round(best[1], 2),
+        "unit": "images/sec",
+        "vs_baseline": round(best[1] / baseline, 2) if baseline else None,
+        "batch_size": best[0],
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

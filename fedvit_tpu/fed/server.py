@@ -1,0 +1,168 @@
+"""Federated server — the host-side round loop around the compiled FedAvg
+round (fed/fedavg.py).
+
+Host responsibilities per round (all cheap): sample each client's local-step
+batches from its partition (optionally class-balanced, the federated analogue
+of the reference's WeightedRandomSampler, data.py:457-464), stack them with a
+leading client axis, place them on the mesh, and run ONE compiled round.
+Evaluation and server-side EMA happen between rounds.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fedvit_tpu.core.config import Config
+from fedvit_tpu.data.constants import NUM_CLASSES
+from fedvit_tpu.eval.metrics import compute_metrics
+from fedvit_tpu.fed.fedavg import make_federated_round
+from fedvit_tpu.fed.partition import client_weights, partition
+from fedvit_tpu.train.ema import ema_init, ema_update
+from fedvit_tpu.train.losses import build_loss
+from fedvit_tpu.train.step import make_eval_step
+
+
+def sample_client_batches(data: Dict[str, np.ndarray],
+                          part_idx: np.ndarray,
+                          local_steps: int, batch_size: int,
+                          rng: np.random.Generator,
+                          weighted: bool = True,
+                          keys=("image", "label", "metadata")) -> Dict[str, np.ndarray]:
+    """Sample (local_steps, batch, ...) arrays from one client's partition,
+    with replacement, optionally inverse-class-frequency weighted."""
+    labels = data["label"][part_idx]
+    if weighted and len(labels):
+        counts = np.bincount(labels, minlength=NUM_CLASSES).astype(np.float64)
+        counts[counts == 0] = 1.0
+        w = (1.0 / counts)[labels]
+        p = w / w.sum()
+    else:
+        p = None
+    sel = rng.choice(len(part_idx), size=(local_steps, batch_size), p=p)
+    flat = part_idx[sel.reshape(-1)]
+    return {k: data[k][flat].reshape((local_steps, batch_size)
+                                     + data[k].shape[1:])
+            for k in keys if k in data}
+
+
+@dataclass
+class FederatedResult:
+    params: Any
+    batch_stats: Any
+    ema_params: Any
+    history: List[Dict] = field(default_factory=list)
+
+
+def train_federated(
+    cfg: Config,
+    model,
+    variables: Dict[str, Any],
+    train_data: Dict[str, np.ndarray],
+    eval_data: Optional[Dict[str, np.ndarray]] = None,
+    mesh: Optional[Mesh] = None,
+    log_fn: Callable[[str], None] = print,
+    eval_batch_size: int = 64,
+) -> FederatedResult:
+    """Run cfg.federated.rounds of FedAvg. Single-client mode (num_clients=1)
+    is the reference-parity configuration (SURVEY.md §7)."""
+    fed = cfg.federated
+    if mesh is None:
+        from fedvit_tpu.parallel.mesh import client_mesh
+        mesh = client_mesh()
+    axis_size = mesh.shape[fed.mesh_axis]
+    assert fed.num_clients % axis_size == 0, (
+        f"num_clients={fed.num_clients} must be divisible by the mesh "
+        f"'{fed.mesh_axis}' axis size ({axis_size}); pick a client count "
+        f"that tiles the device mesh (each device hosts num_clients/"
+        f"{axis_size} clients)")
+
+    loss_fn = build_loss(cfg)
+    round_fn = make_federated_round(cfg, model.apply, loss_fn, mesh)
+
+    # --- partition data over clients ---------------------------------------
+    parts = partition(fed.partition, train_data["label"], fed.num_clients,
+                      alpha=fed.dirichlet_alpha, seed=cfg.seed)
+    weights = client_weights(parts)
+    log_fn(f"[fed] {fed.num_clients} clients, partition={fed.partition}, "
+           f"sizes={[len(p) for p in parts]}")
+
+    # local steps per round
+    bs = cfg.training.batch_size
+    if fed.local_steps > 0:
+        local_steps = fed.local_steps
+    else:
+        mean_size = int(np.mean([len(p) for p in parts]))
+        local_steps = max(1, (mean_size // bs) * fed.local_epochs)
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    ema_enabled = cfg.training.ema.enabled
+    ema_params = ema_init(params) if ema_enabled else None
+    eval_step = make_eval_step(model.apply, cfg)
+
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.key(cfg.seed)
+    history: List[Dict] = []
+
+    rep = NamedSharding(mesh, P())
+    cl = lambda x: jax.device_put(  # noqa: E731
+        x, NamedSharding(mesh, P(fed.mesh_axis, *([None] * (x.ndim - 1)))))
+
+    params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+    bstats = jax.tree.map(lambda x: jax.device_put(x, rep), bstats)
+
+    for rnd in range(1, fed.rounds + 1):
+        t0 = time.time()
+        per_client = [
+            sample_client_batches(train_data, parts[c], local_steps, bs, rng,
+                                  weighted=cfg.training.use_weighted_sampler)
+            for c in range(fed.num_clients)
+        ]
+        stacked = {k: np.stack([pc[k] for pc in per_client])
+                   for k in per_client[0]}
+        batches = {k: cl(jnp.asarray(v)) for k, v in stacked.items()}
+        w_dev = cl(jnp.asarray(weights))
+
+        key, round_key = jax.random.split(key)
+        params, bstats, metrics = round_fn(params, bstats, batches, w_dev,
+                                           round_key)
+        if ema_enabled:
+            ema_params = ema_update(ema_params, params, cfg.training.ema.decay)
+
+        entry = {"round": rnd, "loss": float(metrics["loss"]),
+                 "local_steps": local_steps,
+                 "round_time_s": time.time() - t0}
+
+        if eval_data is not None:
+            eval_params = ema_params if ema_enabled else params
+            y_true, y_pred, probs = [], [], []
+            n = len(eval_data["label"])
+            for s in range(0, n, eval_batch_size):
+                batch = {k: jnp.asarray(v[s:s + eval_batch_size])
+                         for k, v in eval_data.items() if k != "mask"}
+                logits, _ = eval_step(eval_params, bstats, batch)
+                probs.append(np.asarray(jax.nn.softmax(logits, -1)))
+                y_pred.extend(np.argmax(np.asarray(logits), -1).tolist())
+                y_true.extend(np.asarray(batch["label"]).tolist())
+            m = compute_metrics(y_true, y_pred, cfg.num_classes,
+                                np.concatenate(probs))
+            entry.update({k: m[k] for k in
+                          ("accuracy", "balanced_accuracy", "macro_f1")})
+            if "auroc" in m:
+                entry["auroc"] = m["auroc"]
+
+        history.append(entry)
+        log_fn(f"[fed] round {rnd:03d} | loss {entry['loss']:.4f}"
+               + (f" | acc {entry.get('accuracy', float('nan')):.4f}"
+                  f" | bal {entry.get('balanced_accuracy', float('nan')):.4f}"
+                  if eval_data is not None else "")
+               + f" | {entry['round_time_s']:.1f}s")
+
+    return FederatedResult(params, bstats, ema_params, history)

@@ -68,6 +68,24 @@ def cutmix(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray,
     return mixed, labels, labels[idx], lam
 
 
+def make_mix_fn(aug_cfg):
+    """Build the batch-mix fn from an AugmentationConfig: returns
+    mix(key, images, labels) -> (mixed, labels_a, labels_b, lam).
+    Mirrors the reference's mixer construction (train.py:116-124)."""
+    mixup_on = aug_cfg.mixup.enabled and aug_cfg.mixup.alpha > 0
+    cutmix_on = aug_cfg.cutmix.enabled and aug_cfg.cutmix.prob > 0
+    if mixup_on and cutmix_on:
+        return lambda k, x, y: mixup_cutmix(
+            k, x, y, aug_cfg.mixup.alpha, aug_cfg.cutmix.alpha,
+            aug_cfg.cutmix.prob)
+    if mixup_on:
+        return lambda k, x, y: mixup(k, x, y, aug_cfg.mixup.alpha)
+    if cutmix_on:
+        return lambda k, x, y: mixup_cutmix(
+            k, x, y, 0.0, aug_cfg.cutmix.alpha, aug_cfg.cutmix.prob)
+    return None
+
+
 def mixup_cutmix(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray,
                  mixup_alpha: float = 0.4, cutmix_alpha: float = 1.0,
                  cutmix_prob: float = 0.7):

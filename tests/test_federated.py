@@ -1,0 +1,150 @@
+"""Federated training on the 8-virtual-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from fedvit_tpu.core.config import from_dict
+from fedvit_tpu.data.synthetic import make_synthetic_dataset
+from fedvit_tpu.fed.partition import (client_weights, dirichlet_partition,
+                                      iid_partition, partition,
+                                      shard_partition)
+from fedvit_tpu.fed.server import sample_client_batches, train_federated
+from fedvit_tpu.models import build_model
+from fedvit_tpu.parallel.mesh import client_mesh, make_mesh
+
+
+def fed_cfg(num_clients=8, rounds=2, **model_over):
+    return from_dict({
+        "model": {"backbone": "vit_tiny_patch16_224", "image_size": 32,
+                  "compute_dtype": "float32", "drop_path_rate": 0.0,
+                  "metadata": {"enabled": True}, **model_over},
+        "data": {"use_segmentation_mask": False},
+        "training": {"batch_size": 8, "optimizer": {"lr": 3e-4},
+                     "ema": {"enabled": True, "decay": 0.9},
+                     "gradient_accumulation_steps": 1},
+        "augmentation": {"mixup": {"enabled": False},
+                         "cutmix": {"enabled": False}},
+        "loss": {"type": "ce"},
+        "federated": {"enabled": True, "num_clients": num_clients,
+                      "rounds": rounds, "local_steps": 4,
+                      "partition": "dirichlet", "dirichlet_alpha": 0.5},
+    })
+
+
+# ---------------------------------------------------------------------------
+# Partitioners
+# ---------------------------------------------------------------------------
+
+def test_partitions_cover_everything():
+    labels = np.random.default_rng(0).integers(0, 8, 500)
+    for kind in ("iid", "dirichlet", "shards"):
+        parts = partition(kind, labels, 5, seed=0)
+        allidx = np.sort(np.concatenate(parts))
+        assert (allidx == np.arange(500)).all(), kind
+
+
+def test_dirichlet_skew_increases_with_small_alpha():
+    labels = np.random.default_rng(0).integers(0, 8, 2000)
+
+    def skew(alpha):
+        parts = dirichlet_partition(labels, 4, alpha=alpha, seed=1)
+        # mean within-client max-class share
+        shares = []
+        for p in parts:
+            counts = np.bincount(labels[p], minlength=8)
+            shares.append(counts.max() / counts.sum())
+        return np.mean(shares)
+
+    assert skew(0.1) > skew(100.0)
+
+
+def test_client_weights_normalized():
+    labels = np.random.default_rng(0).integers(0, 8, 100)
+    parts = iid_partition(labels, 4, seed=0)
+    w = client_weights(parts)
+    assert abs(w.sum() - 1.0) < 1e-6
+
+
+def test_sample_client_batches_shapes():
+    data = make_synthetic_dataset(n=64, image_size=16, seed=0)
+    parts = shard_partition(data["label"], 4, seed=0)
+    rng = np.random.default_rng(0)
+    b = sample_client_batches(data, parts[0], local_steps=3, batch_size=5,
+                              rng=rng)
+    assert b["image"].shape == (3, 5, 16, 16, 3)
+    assert b["label"].shape == (3, 5)
+    assert b["metadata"].shape == (3, 5, 13)
+    # all sampled labels belong to the client's partition
+    part_labels = set(data["label"][parts[0]].tolist())
+    assert set(b["label"].reshape(-1).tolist()) <= part_labels
+
+
+# ---------------------------------------------------------------------------
+# End-to-end FedAvg on the 8-device mesh
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("num_clients", [8, 16])
+def test_fedavg_round_runs_and_learns(num_clients):
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    cfg = fed_cfg(num_clients=num_clients, rounds=3)
+    model = build_model(cfg)
+    rng = jax.random.key(0)
+    import jax.numpy as jnp
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 13)))
+    data = make_synthetic_dataset(n=256, image_size=32, seed=0)
+    mesh = client_mesh()
+
+    result = train_federated(cfg, model, variables, data, eval_data=None,
+                             mesh=mesh, log_fn=lambda s: None)
+    losses = [h["loss"] for h in result.history]
+    assert len(losses) == 3
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], f"fed loss did not decrease: {losses}"
+
+
+def test_fedavg_matches_single_device_semantics():
+    """FedAvg over the mesh == FedAvg computed client-by-client on one device.
+
+    Runs one round with 8 clients on the 8-device mesh, then re-runs the same
+    round on a 1-device mesh (same client batches, same rng) and checks the
+    aggregated parameters agree — the collective must not change the math."""
+    cfg = fed_cfg(num_clients=8, rounds=1)
+    model = build_model(cfg)
+    import jax.numpy as jnp
+    rng = jax.random.key(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 13)))
+    data = make_synthetic_dataset(n=256, image_size=32, seed=0)
+
+    from fedvit_tpu.fed.fedavg import make_federated_round
+    from fedvit_tpu.fed.partition import partition as make_parts
+    from fedvit_tpu.train.losses import build_loss
+
+    parts = make_parts("dirichlet", data["label"], 8, alpha=0.5, seed=42)
+    w = client_weights(parts)
+    host_rng = np.random.default_rng(0)
+    per_client = [sample_client_batches(data, parts[c], 2, 8, host_rng)
+                  for c in range(8)]
+    stacked = {k: jnp.asarray(np.stack([pc[k] for pc in per_client]))
+               for k in per_client[0]}
+    loss_fn = build_loss(cfg)
+    key = jax.random.key(7)
+
+    mesh8 = client_mesh()
+    round8 = make_federated_round(cfg, model.apply, loss_fn, mesh8)
+    p8, _, m8 = round8(variables["params"], variables["batch_stats"],
+                       stacked, jnp.asarray(w), key)
+
+    mesh1 = make_mesh([1], ["client"], jax.devices()[:1])
+    round1 = make_federated_round(cfg, model.apply, loss_fn, mesh1)
+    p1, _, m1 = round1(variables["params"], variables["batch_stats"],
+                       stacked, jnp.asarray(w), key)
+
+    flat8 = jax.tree.leaves(p8)
+    flat1 = jax.tree.leaves(p1)
+    for a, b in zip(flat8, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    assert abs(float(m8["loss"]) - float(m1["loss"])) < 1e-3
