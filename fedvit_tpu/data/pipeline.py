@@ -1,0 +1,212 @@
+"""Input pipeline — host decode → fixed canvas → device-resident augmentation.
+
+The reference decodes + augments per-sample with PIL inside DataLoader worker
+processes (data.py:212-234, num_workers=8). The TPU-native split is:
+
+  host (threads): JPEG/PNG decode → resize to a fixed square CANVAS (uint8)
+  device (jit):   all augmentation (ops/image.train_transform — RRC, flips,
+                  rotation, jitter, RandAugment, normalize) fused with the
+                  train step's program
+
+A fixed canvas gives XLA static shapes; the random crop is sampled in canvas
+coordinates (distributionally equivalent to the reference's original-
+resolution crops — documented deviation, SURVEY.md §7 hard-part #1).
+
+Masks come from the precomputed PNG dir (<mask_dir>/<image>.png, reference
+data.py:217-224) or — our extension — from the on-device classical
+segmenter (ops/cvseg) when data.on_device_masks is set.
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from fedvit_tpu.core.config import Config
+from fedvit_tpu.data.constants import encode_metadata_batch
+from fedvit_tpu.data.sampling import epoch_indices
+
+
+def canvas_size(image_size: int) -> int:
+    """Smallest multiple of 16 ≥ 1.15·image_size (covers the eval resize at
+    1.14·size without a second host decode)."""
+    return int(math.ceil(image_size * 1.15 / 16) * 16)
+
+
+def _load_image(path: str, canvas: int) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((canvas, canvas), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+def _load_mask(path: Path, canvas: int) -> Optional[np.ndarray]:
+    from PIL import Image
+    if not path.exists():
+        return None
+    with Image.open(path) as im:
+        im = im.convert("L").resize((canvas, canvas), Image.NEAREST)
+        return np.asarray(im, dtype=np.uint8)[..., None]
+
+
+class HostDataSource:
+    """Decodes a dataframe's images (and masks) to fixed-canvas uint8 arrays
+    with a thread pool; optionally caches everything in RAM."""
+
+    def __init__(self, df, cfg: Config, canvas: Optional[int] = None,
+                 cache: bool = True):
+        self.df = df.reset_index(drop=True)
+        self.cfg = cfg
+        self.canvas = canvas or canvas_size(cfg.model.image_size)
+        self.mask_dir = (Path(cfg.data.segmentation_mask_dir)
+                         if cfg.data.use_segmentation_mask
+                         and not cfg.data.on_device_masks else None)
+        self.workers = max(1, cfg.training.num_workers)
+        self.labels = self.df["label"].to_numpy(dtype=np.int32)
+        self.metadata = encode_metadata_batch(
+            self.df.get("age_norm", 0.5 * np.ones(len(self.df))).to_numpy()
+            if "age_norm" in self.df else np.full(len(self.df), 0.5),
+            self.df["sex_idx"].to_numpy() if "sex_idx" in self.df
+            else np.full(len(self.df), 2),
+            self.df["site_idx"].to_numpy() if "site_idx" in self.df
+            else np.full(len(self.df), 8),
+        )
+        self._cache: Dict[int, np.ndarray] = {} if cache else None
+
+    def __len__(self):
+        return len(self.df)
+
+    def _fetch_one(self, i: int) -> np.ndarray:
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
+        img = _load_image(self.df["image_path"].iloc[i], self.canvas)
+        if self.mask_dir is not None:
+            m = _load_mask(self.mask_dir / f"{self.df['image'].iloc[i]}.png",
+                           self.canvas)
+            if m is None:
+                m = np.zeros((self.canvas, self.canvas, 1), np.uint8)
+            img = np.concatenate([img, m], axis=-1)   # RGBA-style packing
+        if self._cache is not None:
+            self._cache[i] = img
+        return img
+
+    def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        """Fetch a batch: {"image" (B,canvas,canvas,3|4) uint8, "label",
+        "metadata"}. The 4th channel, when present, is the mask PNG."""
+        idx = np.asarray(indices).reshape(-1)
+        with ThreadPoolExecutor(self.workers) as pool:
+            imgs = list(pool.map(self._fetch_one, idx.tolist()))
+        return {
+            "image": np.stack(imgs),
+            "label": self.labels[idx],
+            "metadata": self.metadata[idx],
+        }
+
+    def epoch_batches(self, batch_size: int, rng: np.random.Generator,
+                      weighted: bool, drop_last: bool = True
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+        plan = epoch_indices(self.labels, batch_size, rng,
+                             weighted=weighted, drop_last=drop_last)
+        for row in plan:
+            yield self.gather(row)
+
+    def sequential_batches(self, batch_size: int
+                           ) -> Iterator[Dict[str, np.ndarray]]:
+        for s in range(0, len(self), batch_size):
+            yield self.gather(np.arange(s, min(s + batch_size, len(self))))
+
+
+class ArrayDataSource:
+    """HostDataSource-compatible source over in-memory arrays (synthetic
+    fixtures, pre-decoded datasets). data: {"image" (N,H,W,3|4) uint8/float,
+    "label" (N,), "metadata" (N,13)[, "mask" (N,H,W,1)]}. A mask array is
+    packed as the 4th image channel to match the on-disk pipeline contract."""
+
+    def __init__(self, data: Dict[str, np.ndarray], pack_mask: bool = False):
+        img = data["image"]
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        if pack_mask and "mask" in data:
+            m = data["mask"]
+            if m.dtype != np.uint8:
+                m = (np.clip(m, 0, 1) * 255).astype(np.uint8)
+            img = np.concatenate([img, m], axis=-1)
+        self.images = img
+        self.labels = np.asarray(data["label"], np.int32)
+        self.metadata = np.asarray(data["metadata"], np.float32)
+        self.canvas = img.shape[1]
+
+    def __len__(self):
+        return len(self.labels)
+
+    def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        idx = np.asarray(indices).reshape(-1)
+        return {"image": self.images[idx], "label": self.labels[idx],
+                "metadata": self.metadata[idx]}
+
+    def epoch_batches(self, batch_size: int, rng: np.random.Generator,
+                      weighted: bool, drop_last: bool = True):
+        plan = epoch_indices(self.labels, batch_size, rng,
+                             weighted=weighted, drop_last=drop_last)
+        for row in plan:
+            yield self.gather(row)
+
+    def sequential_batches(self, batch_size: int):
+        for s in range(0, len(self), batch_size):
+            yield self.gather(np.arange(s, min(s + batch_size, len(self))))
+
+
+def make_device_augment(cfg: Config, train: bool):
+    """Device-side augmentation: raw uint8 canvas batch → model-ready batch.
+
+    Returns a jittable fn(batch_dict, rng) → batch_dict with "image"
+    (B, S, S, C) normalized float32 (+ mask 4th channel when configured)."""
+    import jax
+    import jax.numpy as jnp
+    from fedvit_tpu.ops import image as I
+    from fedvit_tpu.ops.cvseg import segment_lesion_batch
+
+    size = cfg.model.image_size
+    use_mask = cfg.data.use_segmentation_mask
+    on_device_masks = cfg.data.on_device_masks
+    aug = cfg.augmentation.train
+    cj = aug.color_jitter
+
+    def fn(batch, rng):
+        raw = batch["image"]
+        has_packed_mask = raw.shape[-1] == 4
+        img = I.to_float(raw[..., :3])
+        mask = None
+        if use_mask:
+            if has_packed_mask:
+                mask = I.to_float(raw[..., 3:4])
+            elif on_device_masks:
+                mask = segment_lesion_batch(img, img.shape[1])
+            else:
+                mask = jnp.zeros(img.shape[:3] + (1,), jnp.float32)
+
+        if train:
+            img, mask = I.train_transform(
+                rng, img, mask, out_size=size,
+                scale=aug.random_resized_crop.scale,
+                ratio=aug.random_resized_crop.ratio,
+                do_hflip=aug.horizontal_flip, do_vflip=aug.vertical_flip,
+                rotation=aug.rotation,
+                cj=(cj.brightness, cj.contrast, cj.saturation, cj.hue),
+                randaugment_n=(aug.randaugment.n if aug.randaugment.enabled
+                               else 0),
+                randaugment_m=aug.randaugment.m)
+        else:
+            img, mask = I.eval_transform(img, mask, out_size=size)
+
+        if mask is not None:
+            img = jnp.concatenate([img, mask], axis=-1)
+        out = dict(batch)
+        out["image"] = img
+        return out
+
+    return fn

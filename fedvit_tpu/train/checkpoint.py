@@ -1,0 +1,84 @@
+"""Checkpointing — full train-state persistence with true resume.
+
+The reference saves {epoch, model, optimizer, scheduler, EMA, best_metric,
+config} on every new best (utils.py:287-308) but has NO mid-training resume
+path (SURVEY.md §5). Here a checkpoint is the complete TrainState pytree
+(params, opt_state, EMA shadow, batch_stats, step, rng) plus host-side loop
+state (epoch, best metric, early-stop counter) and the config — restoring it
+resumes training exactly where it stopped.
+
+Backend: orbax PyTreeCheckpointer (async-capable, TPU-friendly sharded
+arrays supported out of the box).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from fedvit_tpu.core.config import Config, to_dict
+
+
+def _state_tree(state) -> Dict[str, Any]:
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": jax.random.key_data(state.rng),
+    }
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
+    return tree
+
+
+def save_checkpoint(path: str, state, epoch: int, best_metric: float,
+                    epochs_without_improve: int = 0,
+                    cfg: Optional[Config] = None) -> None:
+    """Write a full training checkpoint to `path` (a directory)."""
+    path = Path(path).absolute()
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path / "state", _state_tree(state), force=True)
+    meta = {
+        "epoch": int(epoch),
+        "best_metric": float(best_metric),
+        "epochs_without_improve": int(epochs_without_improve),
+        "config": to_dict(cfg) if cfg is not None else None,
+    }
+    (path / "meta.json").write_text(json.dumps(meta, indent=2, default=str))
+
+
+def load_checkpoint(path: str, state) -> Dict[str, Any]:
+    """Restore into the structure of `state` (a freshly-built TrainState).
+
+    Returns {"state": restored TrainState, "epoch", "best_metric",
+    "epochs_without_improve", "config"}."""
+    path = Path(path).absolute()
+    ckptr = ocp.PyTreeCheckpointer()
+    target = jax.tree.map(np.asarray, _state_tree(state))
+    restored = ckptr.restore(path / "state", item=target)
+
+    new_state = state.replace(
+        step=jax.numpy.asarray(restored["step"]),
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=jax.tree.unflatten(
+            jax.tree.structure(state.opt_state),
+            jax.tree.leaves(restored["opt_state"])),
+        ema_params=restored.get("ema_params"),
+        rng=jax.random.wrap_key_data(jax.numpy.asarray(restored["rng"])),
+    )
+    meta = json.loads((path / "meta.json").read_text())
+    meta["state"] = new_state
+    return meta
+
+
+def checkpoint_exists(path: str) -> bool:
+    p = Path(path)
+    return (p / "meta.json").exists() and (p / "state").exists()

@@ -1,0 +1,311 @@
+"""Experiment loop — fold trainer, validation, TTA test eval, K-fold driver.
+
+Parity targets:
+  * train_fold      (/root/reference/train.py:221-371): model/EMA/LLRD/
+    scheduler/loss/loaders, epoch loop with EMA-swapped validation,
+    best-checkpoint on the monitored metric, early stopping (patience 15),
+    restore best, test eval with/without TTA
+  * train_one_epoch (train.py:95-168) — here one jitted step per batch with
+    augmentation fused on device
+  * validate        (train.py:175-214)
+  * main's fold loop + logit ensemble (train.py:378-474) via run_experiment
+  * the reference's best-check bug (uninitialized best_metric,
+    train.py:310-313; SURVEY.md §0.1) is fixed: best = −inf, counter = 0
+  * old-gen two-stage schedule (train_old.py:433-596) via
+    training.two_stage.enabled: stage 1 trains the head with the backbone
+    frozen, stage 2 re-initializes EMA and runs the LLRD schedule
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fedvit_tpu.core.config import Config
+from fedvit_tpu.data.pipeline import make_device_augment
+from fedvit_tpu.eval.metrics import compute_metrics
+from fedvit_tpu.models import build_model
+from fedvit_tpu.train import checkpoint as ckpt
+from fedvit_tpu.train.ema import ema_init
+from fedvit_tpu.train.losses import build_loss, cross_entropy_loss
+from fedvit_tpu.train.optim import (build_head_optimizer, build_optimizer)
+from fedvit_tpu.train.state import TrainState
+from fedvit_tpu.train.step import make_eval_step, make_train_step
+
+
+def init_model_state(cfg: Config, tx, rng_seed: int = 0,
+                     ema_enabled: Optional[bool] = None
+                     ) -> Tuple[object, Dict]:
+    """Build model + init variables + TrainState."""
+    model = build_model(cfg)
+    rng = jax.random.key(rng_seed)
+    x = jnp.zeros((2, cfg.model.image_size, cfg.model.image_size,
+                   cfg.in_channels), jnp.float32)
+    meta = jnp.zeros((2, cfg.model.metadata.input_dim), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, x, meta)
+    ema = cfg.training.ema.enabled if ema_enabled is None else ema_enabled
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats", {}), tx,
+                              jax.random.key(rng_seed + 1), ema_enabled=ema)
+    return model, state
+
+
+def _evaluate(eval_step, augment, params, batch_stats, source, batch_size,
+              num_classes: int, pad_to_batch: bool = True) -> Dict:
+    """Full-dataset eval → metric dict (reference validate/evaluate)."""
+    y_true: List[int] = []
+    y_pred: List[int] = []
+    probs: List[np.ndarray] = []
+    losses: List[Tuple[float, int]] = []
+    for batch in source.sequential_batches(batch_size):
+        n = len(batch["label"])
+        if pad_to_batch and n < batch_size:   # static shapes: pad + trim
+            pad = batch_size - n
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                     for k, v in batch.items()}
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        jb = augment(jb, jax.random.key(0))
+        logits, loss = eval_step(params, batch_stats, jb)
+        logits = np.asarray(logits)[:n]
+        y_true.extend(np.asarray(batch["label"])[:n].tolist())
+        y_pred.extend(logits.argmax(-1).tolist())
+        probs.append(_softmax(logits))
+        losses.append((float(loss), n))
+    m = compute_metrics(y_true, y_pred, num_classes,
+                        np.concatenate(probs) if probs else None)
+    total = sum(n for _, n in losses) or 1
+    m["loss"] = sum(l * n for l, n in losses) / total
+    m["probs"] = np.concatenate(probs) if probs else np.zeros((0, num_classes))
+    return m
+
+
+def _softmax(logits: np.ndarray) -> np.ndarray:
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def evaluate_with_tta(cfg: Config, model, params, batch_stats, source,
+                      batch_size: Optional[int] = None
+                      ) -> Tuple[List[int], List[int], np.ndarray]:
+    """TTA eval: 8 deterministic views, logits averaged over views
+    (reference utils.py:200-230 + TTADataset; the (B·T) flattening becomes a
+    reshape around one batched forward)."""
+    from fedvit_tpu.ops import image as I
+
+    size = cfg.model.image_size
+    use_mask = cfg.data.use_segmentation_mask
+    bs = batch_size or max(1, cfg.training.batch_size // 4)
+    use_meta = cfg.model.metadata.enabled
+
+    @jax.jit
+    def tta_step(params, batch_stats, raw, metadata):
+        img = I.to_float(raw[..., :3])
+        mask = I.to_float(raw[..., 3:4]) if (use_mask and raw.shape[-1] == 4) \
+            else None
+        views, mviews = I.tta_views(img, mask, out_size=size)   # (B,8,S,S,C)
+        if mviews is not None:
+            views = jnp.concatenate([views, mviews], axis=-1)
+        b, t = views.shape[0], views.shape[1]
+        flat = views.reshape((b * t,) + views.shape[2:])
+        meta = (jnp.repeat(metadata, t, axis=0) if use_meta else None)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          flat, meta, deterministic=True)
+        return out["logits"].reshape(b, t, -1).mean(axis=1)
+
+    y_true, y_pred, all_logits = [], [], []
+    for batch in source.sequential_batches(bs):
+        n = len(batch["label"])
+        if n < bs:
+            pad = bs - n
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                     for k, v in batch.items()}
+        logits = np.asarray(tta_step(params, batch_stats,
+                                     jnp.asarray(batch["image"]),
+                                     jnp.asarray(batch["metadata"])))[:n]
+        y_true.extend(np.asarray(batch["label"])[:n].tolist())
+        y_pred.extend(logits.argmax(-1).tolist())
+        all_logits.append(logits)
+    return y_pred, y_true, (np.concatenate(all_logits) if all_logits
+                            else np.zeros((0, cfg.num_classes)))
+
+
+def train_fold(cfg: Config, fold: int, train_source, val_source,
+               test_source=None, workdir: Optional[str] = None,
+               log: Callable[[str], None] = print,
+               resume: bool = False) -> np.ndarray:
+    """Train one CV fold end-to-end; returns test-set logits (N, C) —
+    the contract of reference train_fold (train.py:221-371)."""
+    t = cfg.training
+    steps_per_epoch = max(1, len(train_source) // t.batch_size)
+    opt_steps_per_epoch = max(1, steps_per_epoch
+                              // max(1, t.gradient_accumulation_steps))
+
+    loss_fn = build_loss(cfg)
+    # build params first (tx needs the param tree only for LLRD scales)
+    model, state0 = init_model_state(cfg, optax_identity(), cfg.seed + fold)
+    tx, schedule = build_optimizer(cfg, state0.params, opt_steps_per_epoch)
+    state = TrainState.create(model.apply, state0.params, state0.batch_stats,
+                              tx, jax.random.key(cfg.seed + fold + 1),
+                              ema_enabled=t.ema.enabled)
+
+    log(f"{'='*60}\n FOLD {fold}\n{'='*60}")
+    log(f" Train: {len(train_source):,}  |  Val: {len(val_source):,}")
+    from fedvit_tpu.models.isic import count_parameters
+    log(f" Parameters: {count_parameters(state.params):,}")
+
+    augment_train = jax.jit(make_device_augment(cfg, train=True))
+    augment_eval = jax.jit(make_device_augment(cfg, train=False))
+    train_step = make_train_step(cfg, loss_fn, donate=False)
+    # validation uses the training criterion (reference validate train.py:199)
+    eval_step = make_eval_step(model.apply, cfg, loss_fn)
+
+    metric_name = t.early_stopping.metric
+    patience = t.early_stopping.patience
+    best_metric = -math.inf          # reference bug fixed (SURVEY §0.1)
+    epochs_without_improve = 0
+    start_epoch = 1
+    ckpt_path = f"{workdir}/best_fold{fold}" if workdir else None
+    resume_path = f"{workdir}/resume_fold{fold}" if workdir else None
+
+    if resume and resume_path and ckpt.checkpoint_exists(resume_path):
+        meta = ckpt.load_checkpoint(resume_path, state)
+        state = meta["state"]
+        start_epoch = meta["epoch"] + 1
+        best_metric = meta["best_metric"]
+        epochs_without_improve = meta["epochs_without_improve"]
+        log(f" Resumed from epoch {meta['epoch']} "
+            f"(best {metric_name}={best_metric:.4f})")
+
+    # ---- two-stage: head-only warm start (old-gen train_old.py:433-498) ---
+    if t.two_stage.enabled and start_epoch == 1:
+        head_tx = build_head_optimizer(cfg, state.params, t.two_stage.stage1_lr)
+        head_state = TrainState.create(model.apply, state.params,
+                                       state.batch_stats, head_tx,
+                                       state.rng, ema_enabled=False)
+        head_step = make_train_step(cfg, loss_fn, donate=False)
+        rng_np = np.random.default_rng(cfg.seed + 100 + fold)
+        for ep in range(1, t.two_stage.stage1_epochs + 1):
+            losses = []
+            for batch in train_source.epoch_batches(
+                    t.batch_size, rng_np, t.use_weighted_sampler):
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                jb = augment_train(jb, jax.random.fold_in(
+                    jax.random.key(cfg.seed + ep), len(losses)))
+                head_state, m = head_step(head_state, jb)
+                losses.append(float(m["loss"]))
+            log(f"  [stage1] E{ep:02d} | trn_loss {np.mean(losses):.4f}")
+        # stage 2: carry params, re-init EMA (train_old.py:500-520)
+        state = state.replace(params=head_state.params,
+                              batch_stats=head_state.batch_stats,
+                              ema_params=(ema_init(head_state.params)
+                                          if t.ema.enabled else None))
+
+    rng_np = np.random.default_rng(cfg.seed + fold)
+    for epoch in range(start_epoch, t.epochs + 1):
+        t0 = time.time()
+        losses = []
+        for i, batch in enumerate(train_source.epoch_batches(
+                t.batch_size, rng_np, t.use_weighted_sampler)):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            aug_key = jax.random.fold_in(
+                jax.random.key(cfg.seed * 1000 + epoch), i)
+            jb = augment_train(jb, aug_key)
+            state, m = train_step(state, jb)
+            losses.append(float(m["loss"]))
+        train_loss = float(np.mean(losses)) if losses else float("nan")
+
+        # EMA-swapped validation (reference train.py:289-295)
+        val = _evaluate(eval_step, augment_eval, state.eval_params(),
+                        state.batch_stats, val_source, t.batch_size,
+                        cfg.num_classes)
+        lr_now = float(schedule(state.step))
+        log(f"  E{epoch:02d} | trn_loss {train_loss:.4f} | "
+            f"val_loss {val['loss']:.4f} | val_acc {val['accuracy']:.4f} | "
+            f"val_bal {val['balanced_accuracy']:.4f} | "
+            f"val_f1 {val['macro_f1']:.4f} | lr {lr_now:.2e} | "
+            f"{time.time()-t0:.1f}s")
+
+        metric_val = val[metric_name]
+        if metric_val > best_metric:
+            best_metric = metric_val
+            epochs_without_improve = 0
+            if ckpt_path:
+                ckpt.save_checkpoint(ckpt_path, state, epoch, best_metric,
+                                     0, cfg)
+            log(f"  >>> New best {metric_name}: {best_metric:.4f} — saved.")
+        else:
+            epochs_without_improve += 1
+            if patience > 0 and epochs_without_improve >= patience:
+                log(f"  Early stopping at epoch {epoch} (patience={patience}).")
+                break
+        if resume_path:
+            ckpt.save_checkpoint(resume_path, state, epoch, best_metric,
+                                 epochs_without_improve, cfg)
+
+    # ---- restore best & evaluate on test --------------------------------
+    if ckpt_path and ckpt.checkpoint_exists(ckpt_path):
+        log(f"  Loading best checkpoint (best {metric_name}={best_metric:.4f})")
+        state = ckpt.load_checkpoint(ckpt_path, state)["state"]
+
+    if test_source is None or len(test_source) == 0:
+        log("  No test data available — skipping test evaluation.")
+        return np.zeros((0, cfg.num_classes))
+
+    eval_params = state.eval_params()
+    if cfg.training.tta.enabled:
+        log("  Running TTA on test set…")
+        preds, labels, logits = evaluate_with_tta(
+            cfg, model, eval_params, state.batch_stats, test_source)
+    else:
+        log("  Evaluating on test set (no TTA)…")
+        # the reference's no-TTA branch builds one-hot "logits" from preds
+        # (train.py:355-358); we return real probabilities instead
+        test_eval_step = make_eval_step(model.apply, cfg, cross_entropy_loss)
+        res = _evaluate(test_eval_step, augment_eval, eval_params,
+                        state.batch_stats, test_source, t.batch_size,
+                        cfg.num_classes)
+        logits = res["probs"]
+        preds = logits.argmax(-1).tolist()
+        labels = [int(l) for l in test_source.labels]
+
+    m = compute_metrics(labels, preds, cfg.num_classes)
+    log(f"  Fold {fold} Test — acc: {m['accuracy']:.4f} | "
+        f"bal_acc: {m['balanced_accuracy']:.4f} | "
+        f"macro_f1: {m['macro_f1']:.4f}")
+    return logits
+
+
+def optax_identity():
+    import optax
+    return optax.identity()
+
+
+def run_experiment(cfg: Config, sources_per_fold, test_source=None,
+                   workdir: Optional[str] = None, fold: int = -1,
+                   log: Callable[[str], None] = print) -> Dict:
+    """K-fold driver + fold-averaged logit ensemble (reference main,
+    train.py:437-472). sources_per_fold: list of (train_source, val_source)."""
+    fold_list = (list(range(len(sources_per_fold))) if fold < 0 else [fold])
+    all_logits = []
+    for f in fold_list:
+        tr, va = sources_per_fold[f]
+        logits = train_fold(cfg, f, tr, va, test_source, workdir, log)
+        all_logits.append(logits)
+
+    result: Dict = {"fold_logits": all_logits}
+    valid = [lg for lg in all_logits if len(lg) > 0]
+    if valid and test_source is not None and len(test_source) > 0:
+        avg = np.mean(valid, axis=0)
+        preds = avg.argmax(axis=1)
+        labels = np.asarray(test_source.labels)
+        result["ensemble_logits"] = avg
+        m = compute_metrics(labels, preds, cfg.num_classes)
+        result["ensemble_metrics"] = m
+        log(f"\n  {len(valid)}-Fold ENSEMBLE — acc {m['accuracy']:.4f} | "
+            f"bal {m['balanced_accuracy']:.4f} | f1 {m['macro_f1']:.4f}")
+    return result

@@ -1,0 +1,205 @@
+"""Data layer — splits vs stratification/group properties (sklearn as the
+behavioral oracle), CSV assembly on a synthetic ISIC tree, sampling laws,
+host→device pipeline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from fedvit_tpu.core.config import from_dict
+from fedvit_tpu.data.constants import META_DIM
+from fedvit_tpu.data.isic import (has_real_test_labels, load_isic_data,
+                                  parse_groundtruth_csv)
+from fedvit_tpu.data.pipeline import HostDataSource, canvas_size, make_device_augment
+from fedvit_tpu.data.sampling import (class_balanced_weights,
+                                      compute_class_weights, epoch_indices)
+from fedvit_tpu.data.splits import (make_cv_splits, stratified_group_kfold,
+                                    stratified_kfold)
+
+
+# ---------------------------------------------------------------------------
+# Splits
+# ---------------------------------------------------------------------------
+
+def test_stratified_kfold_properties():
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 8, 1000)
+    splits = stratified_kfold(labels, 5, seed=42)
+    assert len(splits) == 5
+    all_val = np.sort(np.concatenate([v for _, v in splits]))
+    assert (all_val == np.arange(1000)).all()  # each sample in exactly 1 val fold
+    for train, val in splits:
+        assert len(np.intersect1d(train, val)) == 0
+        # per-class proportions match within 2 samples
+        for c in range(8):
+            n_c = (labels == c).sum()
+            in_val = (labels[val] == c).sum()
+            assert abs(in_val - n_c / 5) <= 2
+
+
+def test_stratified_group_kfold_group_disjoint():
+    rng = np.random.default_rng(1)
+    groups = rng.integers(0, 200, 1000)
+    labels = (groups * 7 + rng.integers(0, 2, 1000)) % 8  # label correlated with group
+    splits = stratified_group_kfold(labels, groups, 5, seed=42)
+    for train, val in splits:
+        assert len(set(groups[train]) & set(groups[val])) == 0, \
+            "groups must not straddle folds (patient leakage)"
+    # stratification: per-fold class histograms roughly equal
+    hists = np.stack([np.bincount(labels[v], minlength=8) for _, v in splits])
+    assert hists.std(axis=0).mean() < hists.mean() * 0.5
+
+
+def test_make_cv_splits_dispatch():
+    labels = np.arange(100) % 8
+    s1 = make_cv_splits(labels, None, 5, 42)
+    s2 = make_cv_splits(labels, np.arange(100) // 2, 5, 42)
+    s3 = make_cv_splits(labels, np.zeros(100), 5, 42)  # single group → plain
+    assert len(s1) == len(s2) == len(s3) == 5
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+def test_class_balanced_weights_law():
+    labels = np.array([0] * 90 + [1] * 10)
+    p = class_balanced_weights(labels, 2)
+    # each class gets half the total probability mass
+    assert abs(p[labels == 0].sum() - 0.5) < 1e-9
+    assert abs(p[labels == 1].sum() - 0.5) < 1e-9
+
+
+def test_weighted_epoch_balances_classes():
+    rng = np.random.default_rng(0)
+    labels = np.array([0] * 900 + [1] * 100)
+    plan = epoch_indices(labels, 50, rng, weighted=True)
+    sampled = labels[plan.reshape(-1)]
+    frac1 = (sampled == 1).mean()
+    assert 0.4 < frac1 < 0.6, f"minority class fraction {frac1}"
+
+
+def test_compute_class_weights_balanced():
+    labels = np.array([0] * 30 + [1] * 10)
+    w = compute_class_weights(labels, 2)
+    # sklearn 'balanced': n/(k*count)
+    assert np.allclose(w, [40 / (2 * 30), 40 / (2 * 10)])
+
+
+# ---------------------------------------------------------------------------
+# CSV assembly on a synthetic ISIC tree
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def isic_tree(tmp_path):
+    d = tmp_path / "ISIC"
+    (d / "ISIC_2019_Training_Input").mkdir(parents=True)
+    n = 20
+    names = [f"ISIC_{i:07d}" for i in range(n)]
+    onehot = np.zeros((n, 9))
+    labels = np.arange(n) % 8
+    onehot[np.arange(n), labels] = 1
+    onehot[-1] = 0
+    onehot[-1, 8] = 1  # one UNK row → dropped
+    gt = pd.DataFrame(onehot, columns=["MEL", "NV", "BCC", "AK", "BKL", "DF",
+                                       "VASC", "SCC", "UNK"])
+    gt.insert(0, "image", names)
+    gt.to_csv(d / "ISIC_2019_Training_GroundTruth.csv", index=False)
+
+    meta = pd.DataFrame({
+        "image": names,
+        "age_approx": [50] * (n - 2) + [np.nan, 120],
+        "sex": ["male", "female"] * (n // 2),
+        "anatom_site_general": ["head/neck"] * (n - 1) + [None],
+        "lesion_id": [f"L{i//2}" for i in range(n)],
+    })
+    meta.to_csv(d / "ISIC_2019_Training_Metadata.csv", index=False)
+
+    rng = np.random.default_rng(0)
+    for nm in names[:-2]:   # leave 2 images missing on disk
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / "ISIC_2019_Training_Input" / f"{nm}.jpg")
+    return d
+
+
+def test_load_isic_data(isic_tree):
+    logs = []
+    train_df, test_df = load_isic_data(str(isic_tree), log=logs.append)
+    # 20 rows − 1 UNK − at least 1 missing file (the UNK row also has no label)
+    assert "dx" in train_df and "label" in train_df
+    assert (train_df["dx"] != "UNK").all()
+    assert len(train_df) == 18  # 19 valid − 1 missing-on-disk (UNK row had no file either)
+    # age semantics: fillna(50)/90, clip to 90
+    assert abs(train_df["age_norm"].iloc[0] - 50 / 90) < 1e-9
+    assert train_df["age_norm"].max() <= 1.0
+    # sex/site vocab
+    assert set(train_df["sex_idx"]) <= {0, 1, 2}
+    assert set(train_df["site_idx"]) <= set(range(9))
+    # lesion_id groups exist
+    assert train_df["lesion_id"].nunique() > 1
+    # no test data
+    assert len(test_df) == 0
+    assert not has_real_test_labels(test_df)
+
+
+def test_groundtruth_parse_unk_dropped(isic_tree):
+    df = parse_groundtruth_csv(isic_tree / "ISIC_2019_Training_GroundTruth.csv")
+    assert len(df) == 19 and (df["label"] < 8).all()
+
+
+# ---------------------------------------------------------------------------
+# Host pipeline → device augmentation
+# ---------------------------------------------------------------------------
+
+def test_host_pipeline_and_device_augment(isic_tree):
+    cfg = from_dict({
+        "data": {"isic_dir": str(isic_tree), "use_segmentation_mask": True,
+                 "on_device_masks": True},
+        "model": {"backbone": "vit_tiny_patch16_224", "image_size": 32,
+                  "compute_dtype": "float32"},
+        "training": {"batch_size": 4, "num_workers": 2},
+    })
+    train_df, _ = load_isic_data(str(isic_tree), log=lambda s: None)
+    src = HostDataSource(train_df, cfg, cache=True)
+    assert src.canvas == canvas_size(32)
+
+    rng = np.random.default_rng(0)
+    batch = next(src.epoch_batches(4, rng, weighted=True))
+    assert batch["image"].shape == (4, src.canvas, src.canvas, 3)
+    assert batch["image"].dtype == np.uint8
+    assert batch["metadata"].shape == (4, META_DIM)
+
+    import jax
+    import jax.numpy as jnp
+    aug = make_device_augment(cfg, train=True)
+    out = jax.jit(aug)({k: jnp.asarray(v) for k, v in batch.items()},
+                       jax.random.key(0))
+    assert out["image"].shape == (4, 32, 32, 4)  # RGB + on-device mask
+    assert np.isfinite(np.asarray(out["image"])).all()
+
+    aug_eval = make_device_augment(cfg, train=False)
+    out_e = jax.jit(aug_eval)({k: jnp.asarray(v) for k, v in batch.items()},
+                              jax.random.key(0))
+    assert out_e["image"].shape == (4, 32, 32, 4)
+
+
+def test_pipeline_mask_png_packing(isic_tree, tmp_path):
+    # write mask PNGs for each image; pipeline should pack them as channel 4
+    mask_dir = tmp_path / "masks"
+    mask_dir.mkdir()
+    train_df, _ = load_isic_data(str(isic_tree), log=lambda s: None)
+    for nm in train_df["image"]:
+        Image.fromarray(np.full((16, 16), 255, np.uint8)).save(
+            mask_dir / f"{nm}.png")
+    cfg = from_dict({
+        "data": {"use_segmentation_mask": True,
+                 "segmentation_mask_dir": str(mask_dir)},
+        "model": {"backbone": "vit_tiny_patch16_224", "image_size": 32,
+                  "compute_dtype": "float32"},
+        "training": {"num_workers": 2},
+    })
+    src = HostDataSource(train_df, cfg)
+    batch = src.gather(np.arange(3))
+    assert batch["image"].shape[-1] == 4
+    assert batch["image"][..., 3].max() == 255

@@ -1,0 +1,113 @@
+"""End-to-end fold trainer on the synthetic fixture — the reference's
+train_fold contract (epochs, EMA validation, best checkpoint, early stop,
+TTA test eval, ensemble) plus true resume (which the reference lacks)."""
+
+import numpy as np
+import pytest
+
+from fedvit_tpu.core.config import from_dict
+from fedvit_tpu.data.pipeline import ArrayDataSource
+from fedvit_tpu.data.synthetic import make_synthetic_dataset
+from fedvit_tpu.train.loop import run_experiment, train_fold
+
+
+def loop_cfg(tmp, epochs=2, **over):
+    raw = {
+        "model": {"backbone": "vit_tiny_patch16_224", "image_size": 32,
+                  "compute_dtype": "float32", "drop_path_rate": 0.0,
+                  "metadata": {"enabled": True}},
+        "data": {"use_segmentation_mask": False},
+        "training": {
+            "epochs": epochs, "batch_size": 16,
+            "gradient_accumulation_steps": 1,
+            "optimizer": {"lr": 3e-4},
+            "scheduler": {"warmup_epochs": 1},
+            "ema": {"enabled": True, "decay": 0.9},
+            "early_stopping": {"patience": 50, "metric": "balanced_accuracy"},
+            "tta": {"enabled": True, "n": 8},
+            "num_workers": 1,
+        },
+        "augmentation": {
+            "train": {"rotation": 0,
+                      "randaugment": {"enabled": False},
+                      "color_jitter": {"brightness": 0, "contrast": 0,
+                                       "saturation": 0, "hue": 0}},
+            "mixup": {"enabled": False}, "cutmix": {"enabled": False}},
+        "loss": {"type": "ce"},
+        "checkpoint": {"dir": str(tmp)},
+    }
+    def deep(d, u):
+        for k, v in u.items():
+            d[k] = deep(d.get(k, {}), v) if isinstance(v, dict) else v
+        return d
+    return from_dict(deep(raw, over))
+
+
+@pytest.fixture(scope="module")
+def sources():
+    train = ArrayDataSource(make_synthetic_dataset(n=128, image_size=40,
+                                                   seed=0))
+    val = ArrayDataSource(make_synthetic_dataset(n=48, image_size=40, seed=1))
+    test = ArrayDataSource(make_synthetic_dataset(n=33, image_size=40, seed=2))
+    return train, val, test
+
+
+def test_train_fold_end_to_end(tmp_path, sources):
+    train, val, test = sources
+    cfg = loop_cfg(tmp_path, epochs=2)
+    logs = []
+    logits = train_fold(cfg, 0, train, val, test,
+                        workdir=str(tmp_path), log=logs.append)
+    assert logits.shape == (33, 8)
+    assert np.isfinite(logits).all()
+    text = "\n".join(logs)
+    assert "New best" in text
+    assert "Running TTA" in text
+
+
+def test_resume_continues_from_epoch(tmp_path, sources):
+    train, val, test = sources
+    cfg = loop_cfg(tmp_path, epochs=2)
+    logs1 = []
+    train_fold(cfg, 1, train, val, None, workdir=str(tmp_path),
+               log=logs1.append)
+    # bump epochs and resume: must start at epoch 3
+    cfg3 = loop_cfg(tmp_path, epochs=3)
+    logs2 = []
+    train_fold(cfg3, 1, train, val, None, workdir=str(tmp_path),
+               log=logs2.append, resume=True)
+    text = "\n".join(logs2)
+    assert "Resumed from epoch 2" in text
+    assert "E03" in text and "E01" not in text
+
+
+def test_run_experiment_ensemble(tmp_path, sources):
+    train, val, test = sources
+    cfg = loop_cfg(tmp_path, epochs=1,
+                   training={"tta": {"enabled": False}})
+    res = run_experiment(cfg, [(train, val), (train, val)], test,
+                         workdir=str(tmp_path), log=lambda s: None)
+    assert len(res["fold_logits"]) == 2
+    assert res["ensemble_logits"].shape == (33, 8)
+    assert "ensemble_metrics" in res
+
+
+def test_early_stopping(tmp_path, sources):
+    train, val, _ = sources
+    cfg = loop_cfg(tmp_path, epochs=30,
+                   training={"early_stopping": {"patience": 1},
+                             "optimizer": {"lr": 0.0}})  # no learning → stop
+    logs = []
+    train_fold(cfg, 2, train, val, None, workdir=None, log=logs.append)
+    assert any("Early stopping" in l for l in logs)
+
+
+def test_two_stage_schedule(tmp_path, sources):
+    train, val, _ = sources
+    cfg = loop_cfg(tmp_path, epochs=1,
+                   training={"two_stage": {"enabled": True,
+                                           "stage1_epochs": 1,
+                                           "stage1_lr": 1e-3}})
+    logs = []
+    train_fold(cfg, 3, train, val, None, workdir=None, log=logs.append)
+    assert any("[stage1]" in l for l in logs)
