@@ -94,12 +94,43 @@ class HostDataSource:
             self._cache[i] = img
         return img
 
+    def _gather_native(self, idx: np.ndarray) -> list:
+        """Decode a batch through the C++ loader (native/fedvit_loader.cpp),
+        honoring the RAM cache; falls back per-image to PIL on decode
+        failure."""
+        from fedvit_tpu.data import native_loader as nl
+        todo = [i for i in idx.tolist()
+                if self._cache is None or i not in self._cache]
+        if todo:
+            paths = [self.df["image_path"].iloc[i] for i in todo]
+            imgs, ok = nl.decode_jpeg_batch(paths, self.canvas, self.workers)
+            if self.mask_dir is not None:
+                mpaths = [str(self.mask_dir / f"{self.df['image'].iloc[i]}.png")
+                          for i in todo]
+                masks, _ = nl.decode_png_mask_batch(mpaths, self.canvas,
+                                                    self.workers)
+                imgs = np.concatenate([imgs, masks], axis=-1)
+            for j, i in enumerate(todo):
+                img = imgs[j] if ok[j] else self._fetch_one(i)
+                if self._cache is not None:
+                    self._cache[i] = img
+                elif not ok[j]:
+                    imgs[j] = img
+            if self._cache is None:
+                return list(imgs)
+        return [self._cache[i] if self._cache is not None else None
+                for i in idx.tolist()]
+
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         """Fetch a batch: {"image" (B,canvas,canvas,3|4) uint8, "label",
         "metadata"}. The 4th channel, when present, is the mask PNG."""
         idx = np.asarray(indices).reshape(-1)
-        with ThreadPoolExecutor(self.workers) as pool:
-            imgs = list(pool.map(self._fetch_one, idx.tolist()))
+        from fedvit_tpu.data import native_loader as nl
+        if nl.available():
+            imgs = self._gather_native(idx)
+        else:
+            with ThreadPoolExecutor(self.workers) as pool:
+                imgs = list(pool.map(self._fetch_one, idx.tolist()))
         return {
             "image": np.stack(imgs),
             "label": self.labels[idx],

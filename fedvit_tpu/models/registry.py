@@ -27,7 +27,8 @@ BACKBONE_SPECS: Dict[str, Dict[str, Any]] = {
     # explicit entries for exact reference config names
     "swinv2_large_window12to24_192to384.ms_in22k_ft_in1k": dict(
         family="swinv2", embed_dim=192, depths=(2, 2, 18, 2),
-        num_heads=(6, 12, 24, 48), window_size=24),
+        num_heads=(6, 12, 24, 48), window_size=24,
+        pretrained_window_sizes=(12, 12, 12, 6)),
     "swin_small_patch4_window12_384": dict(
         family="swin", embed_dim=96, depths=(2, 2, 18, 2),
         num_heads=(3, 6, 12, 24), window_size=12),

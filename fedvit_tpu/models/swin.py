@@ -1,0 +1,327 @@
+"""SwinV2 backbone — native JAX implementation of the reference's production
+model family (timm "swinv2_large_window12to24_192to384", reference
+config.yaml:28, model.py:112-117).
+
+SwinV2 specifics implemented (Liu et al. 2022, timm semantics):
+  * post-norm blocks: x + DropPath(norm(attn(x))), x + DropPath(norm(mlp(x)))
+  * scaled cosine attention: sim(q̂, k̂)·exp(clamp(logit_scale, ≤ log 100))
+    with a learned per-head logit scale
+  * continuous log-spaced relative-position bias: MLP(2→512→heads) over the
+    log-CPB coordinate table, 16·sigmoid(·), supporting window-size scaling
+    (the "window12to24" trained-12/finetuned-24 scheme: the table is
+    normalized by the PRETRAINED window extent)
+  * shifted windows with the static cross-boundary attention mask
+  * PatchMerging v2 order (reduction Linear(4C→2C) then norm)
+  * window size clamps to the stage resolution (stage 4 @384 is 12×12 < 24)
+
+Layout: tokens kept as (B, H, W, C) between blocks (NHWC, XLA-native);
+window partition is a reshape/transpose, so every attention call is one
+batched (B·nW, w², heads, d) fused attention (ops/attention.py — the
+relative-position bias keeps Swin on the XLA path; see
+ops/flash_attention.py docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from fedvit_tpu.models.layers import DropPath, Mlp, trunc_normal_init
+from fedvit_tpu.ops.attention import dot_product_attention
+
+
+# ---------------------------------------------------------------------------
+# Static window helpers (pure numpy — computed at trace time)
+# ---------------------------------------------------------------------------
+
+def window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B·nW, w², C)."""
+    b, h, wd, c = x.shape
+    x = x.reshape(b, h // w, w, wd // w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, w * w, c)
+
+
+def window_unpartition(x: jnp.ndarray, w: int, h: int, wd: int) -> jnp.ndarray:
+    """(B·nW, w², C) → (B, H, W, C)."""
+    c = x.shape[-1]
+    b = x.shape[0] // ((h // w) * (wd // w))
+    x = x.reshape(b, h // w, wd // w, w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, wd, c)
+
+
+def relative_coords_table(window: int, pretrained_window: int = 0
+                          ) -> np.ndarray:
+    """SwinV2 log-spaced CPB input table (1, 2w−1, 2w−1, 2)."""
+    rh = np.arange(-(window - 1), window, dtype=np.float64)
+    rw = np.arange(-(window - 1), window, dtype=np.float64)
+    table = np.stack(np.meshgrid(rh, rw, indexing="ij"), axis=-1)[None]
+    denom = (pretrained_window - 1) if pretrained_window > 0 else (window - 1)
+    denom = max(denom, 1)
+    table = table / denom
+    table = table * 8
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8)
+    return table.astype(np.float32)
+
+
+def relative_position_index(window: int) -> np.ndarray:
+    """(w², w²) indices into the flattened (2w−1)² bias table."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing="ij"))          # (2, w, w)
+    flat = coords.reshape(2, -1)                           # (2, w²)
+    rel = flat[:, :, None] - flat[:, None, :]              # (2, w², w²)
+    rel = rel.transpose(1, 2, 0)
+    rel[..., 0] += window - 1
+    rel[..., 1] += window - 1
+    rel[..., 0] *= 2 * window - 1
+    return rel.sum(-1).astype(np.int32)                    # (w², w²)
+
+
+def shift_attention_mask(h: int, w: int, window: int, shift: int
+                         ) -> Optional[np.ndarray]:
+    """Additive (nW, w², w²) mask for shifted windows (−100 across region
+    boundaries), or None for shift 0. Static numpy (Swin's img_mask trick)."""
+    if shift == 0:
+        return None
+    img = np.zeros((1, h, w, 1), np.float32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift),
+                   slice(-shift, None)):
+            img[:, hs, ws, :] = cnt
+            cnt += 1
+    # partition (numpy mirror of window_partition)
+    x = img.reshape(1, h // window, window, w // window, window, 1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window)
+    diff = x[:, None, :] - x[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+class WindowAttentionV2(nn.Module):
+    """Scaled-cosine window attention with continuous rel-pos bias."""
+    num_heads: int
+    window: int
+    pretrained_window: int = 0
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """x: (B·nW, w², C); mask: static (nW, w², w²) or None."""
+        bnw, n, c = x.shape
+        h = self.num_heads
+        d = c // h
+
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype,
+                       kernel_init=trunc_normal_init, name="qkv")(x)
+        # SwinV2 uses q/v bias but no k bias (timm: q_bias, v_bias)
+        q_bias = self.param("q_bias", nn.initializers.zeros, (c,))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (c,))
+        qkv = qkv.reshape(bnw, n, 3, h, d)
+        q = qkv[:, :, 0] + q_bias.reshape(h, d).astype(qkv.dtype)
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2] + v_bias.reshape(h, d).astype(qkv.dtype)
+
+        # cosine attention
+        qn = q / jnp.clip(jnp.linalg.norm(q.astype(jnp.float32), axis=-1,
+                                          keepdims=True), min=1e-6)
+        kn = k / jnp.clip(jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
+                                          keepdims=True), min=1e-6)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, np.log(10.0), jnp.float32),
+            (h, 1, 1))
+        scale = jnp.exp(jnp.clip(logit_scale, max=float(np.log(100.0))))
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", qn.astype(jnp.float32),
+                          kn.astype(jnp.float32)) * scale[None]
+
+        # continuous relative position bias
+        table = relative_coords_table(self.window, self.pretrained_window)
+        idx = relative_position_index(self.window)
+        cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(
+            jnp.asarray(table))
+        cpb = nn.relu(cpb)
+        cpb = nn.Dense(h, use_bias=False, dtype=jnp.float32,
+                       name="cpb_fc2")(cpb)                  # (1,2w-1,2w-1,H)
+        cpb = cpb.reshape(-1, h)[idx.reshape(-1)]            # (w⁴, H)
+        bias = 16.0 * jax.nn.sigmoid(cpb).reshape(n, n, h).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, h, n, n)
+            attn = attn + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(bnw, h, n, n)
+
+        p = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", p, v)
+        out = out.reshape(bnw, n, c)
+        return nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
+                        name="proj")(out)
+
+
+class SwinBlockV2(nn.Module):
+    num_heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    pretrained_window: int = 0
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        b, h, w, c = x.shape
+        if self.window >= min(h, w):
+            win, shift = min(h, w), 0   # window covers the map → no shift
+        else:
+            win, shift = self.window, self.shift
+
+        assert h % win == 0 and w % win == 0, (
+            f"feature map {h}x{w} not divisible by window {win}")
+        shortcut = x
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        mask = shift_attention_mask(h, w, win, shift)
+        xw = window_partition(x, win)
+        xw = WindowAttentionV2(self.num_heads, win, self.pretrained_window,
+                               self.dtype, self.attention_impl,
+                               name="attn")(xw, mask, deterministic)
+        x = window_unpartition(xw, win, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        # post-norm (v2)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+
+        y = Mlp(int(c * self.mlp_ratio), dropout=0.0, dtype=self.dtype,
+                name="mlp")(x, deterministic)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(y)
+        x = x + DropPath(self.drop_path)(y, deterministic)
+        return x
+
+
+class PatchMergingV2(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, name="reduction")(x)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+
+
+class SwinStage(nn.Module):
+    """One resolution stage: `depth` blocks + optional downsample.
+
+    Named `layers_{i}` under the backbone so the LLRD group mapping
+    (train/optim.llrd_scale_tree, reference model.py:253-256) sees the same
+    per-stage structure the reference iterates over."""
+    depth: int
+    num_heads: int
+    window: int
+    mlp_ratio: float
+    drop_paths: Tuple[float, ...]
+    pretrained_window: int
+    downsample: bool
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        for blk in range(self.depth):
+            x = SwinBlockV2(
+                num_heads=self.num_heads,
+                window=self.window,
+                shift=0 if blk % 2 == 0 else self.window // 2,
+                mlp_ratio=self.mlp_ratio,
+                drop_path=self.drop_paths[blk],
+                pretrained_window=self.pretrained_window,
+                dtype=self.dtype,
+                attention_impl=self.attention_impl,
+                name=f"blocks_{blk}")(x, deterministic)
+        if self.downsample:
+            x = PatchMergingV2(self.dtype, name="downsample")(x)
+        return x
+
+
+class SwinTransformerV2(nn.Module):
+    image_size: int = 384
+    patch_size: int = 4
+    in_channels: int = 3
+    embed_dim: int = 192
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (6, 12, 24, 48)
+    window_size: int = 24
+    pretrained_window_sizes: Tuple[int, ...] = (0, 0, 0, 0)
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @property
+    def num_features(self) -> int:
+        return self.embed_dim * 2 ** (len(self.depths) - 1)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        b = x.shape[0]
+        p = self.patch_size
+        x = x.astype(self.dtype)
+        # patch embed (reshape + Dense, like models/vit.PatchEmbed) + norm
+        hh, ww = x.shape[1] // p, x.shape[2] // p
+        x = x.reshape(b, hh, p, ww, p, x.shape[-1])
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, -1)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init,
+                     name="patch_embed")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x)
+
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(1, total - 1)
+               for i in range(total)]
+        di = 0
+        for s, depth in enumerate(self.depths):
+            x = SwinStage(
+                depth=depth,
+                num_heads=self.num_heads[s],
+                window=self.window_size,
+                mlp_ratio=self.mlp_ratio,
+                drop_paths=tuple(dpr[di:di + depth]),
+                pretrained_window=self.pretrained_window_sizes[s],
+                downsample=(s < len(self.depths) - 1),
+                dtype=self.dtype,
+                attention_impl=self.attention_impl,
+                name=f"layers_{s}")(x, deterministic)
+            di += depth
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        feats = x.reshape(b, -1, x.shape[-1]).mean(axis=1)  # global avg pool
+        return feats.astype(jnp.float32)
+
+
+SWIN_CONFIGS = {
+    "tiny":  dict(embed_dim=96,  depths=(2, 2, 6, 2),
+                  num_heads=(3, 6, 12, 24)),
+    "small": dict(embed_dim=96,  depths=(2, 2, 18, 2),
+                  num_heads=(3, 6, 12, 24)),
+    "base":  dict(embed_dim=128, depths=(2, 2, 18, 2),
+                  num_heads=(4, 8, 16, 32)),
+    "large": dict(embed_dim=192, depths=(2, 2, 18, 2),
+                  num_heads=(6, 12, 24, 48)),
+}

@@ -55,11 +55,9 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
-    if impl == "pallas":
-        try:
-            from fedvit_tpu.ops.flash_attention import flash_attention
-            return flash_attention(q, k, v, bias=bias)
-        except Exception:
-            # fall back (e.g. interpret-mode limits in tests)
-            return xla_attention(q, k, v, bias=bias)
+    if impl == "pallas" and bias is None:
+        from fedvit_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v)
+    # biased attention (Swin relative-position bias) uses the XLA path so
+    # the bias table stays differentiable (see flash_attention docstring)
     return xla_attention(q, k, v, bias=bias)

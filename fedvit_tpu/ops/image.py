@@ -192,8 +192,29 @@ def random_resized_crop(key: jax.Array, img: jnp.ndarray, out_size: int,
 def rotate(img: jnp.ndarray, angles_deg: jnp.ndarray,
            method: str = "nearest") -> jnp.ndarray:
     """Rotate each sample by its own angle (degrees, CCW like PIL), about the
-    image center, zero fill. method: "nearest" | "bilinear"."""
+    image center, zero fill. method: "nearest" | "bilinear".
+
+    The nearest path uses the Paeth 3-shear decomposition over barrel-shift
+    passes (ops/row_shift.py) — batched gathers are ~100 ms per 32×384² on
+    this TPU while static rolls run at HBM speed; 3-shear differs from the
+    direct nearest map on ~2-3%% of pixels (one-pixel rounding at edges)."""
     b, h, w, c = img.shape
+    if method == "nearest":
+        from fedvit_tpu.ops.row_shift import col_shift, row_shift
+        th = jnp.deg2rad(angles_deg.astype(jnp.float32))
+        a = -jnp.tan(th / 2.0)
+        s = jnp.sin(th)
+        pad = h // 3
+        big = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        hb, wb = h + 2 * pad, w + 2 * pad
+        yy = (jax.lax.broadcasted_iota(jnp.float32, (b, hb), 1)
+              - (hb - 1) / 2.0)
+        xx = (jax.lax.broadcasted_iota(jnp.float32, (b, wb), 1)
+              - (wb - 1) / 2.0)
+        big = row_shift(big, a[:, None] * yy)
+        big = col_shift(big, s[:, None] * xx)
+        big = row_shift(big, a[:, None] * yy)
+        return big[:, pad:pad + h, pad:pad + w, :]
     theta = jnp.deg2rad(angles_deg.astype(jnp.float32))
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
@@ -205,16 +226,8 @@ def rotate(img: jnp.ndarray, angles_deg: jnp.ndarray,
     src_x = cos * xx[None] - sin * yy[None] + cx
     src_y = sin * xx[None] + cos * yy[None] + cy
 
-    if method == "nearest":
-        ix = jnp.round(src_x).astype(jnp.int32)
-        iy = jnp.round(src_y).astype(jnp.int32)
-        inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-        ixc = jnp.clip(ix, 0, w - 1)
-        iyc = jnp.clip(iy, 0, h - 1)
-        gathered = jax.vmap(lambda im, y, x: im[y, x])(img, iyc, ixc)
-        return jnp.where(inb[..., None], gathered, 0.0)
-
-    # bilinear
+    # bilinear (exact inverse-map; used where sub-pixel quality matters —
+    # note: batched gathers are slow on TPU, prefer nearest in hot paths)
     x0 = jnp.floor(src_x); y0 = jnp.floor(src_y)
     dx = src_x - x0; dy = src_y - y0
     out = jnp.zeros_like(img)
@@ -448,3 +461,28 @@ def tta_views(img: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
     out = jnp.stack(views, axis=1)
     m_out = jnp.stack(mviews, axis=1) if mviews is not None else None
     return out, m_out
+
+
+def tta_views_named(img: jnp.ndarray, names, out_size: int = 384
+                    ) -> jnp.ndarray:
+    """Old-gen configurable TTA list (reference data_old.py:208-304):
+    resize to 1.14·size first, then per view: original/hflip/vflip are
+    center-cropped; crop_tl / crop_br / crop_center are corner crops of the
+    resized image. Returns (B, len(names), S, S, C), normalized."""
+    rs = int(out_size * 1.14)
+    big = jnp.clip(resize(img, (rs, rs), "cubic"), 0.0, 1.0)
+    center = center_crop(big, out_size)
+    views = []
+    for name in names:
+        if name == "hflip":
+            v = hflip(center)
+        elif name == "vflip":
+            v = vflip(center)
+        elif name == "crop_tl":
+            v = big[:, :out_size, :out_size, :]
+        elif name == "crop_br":
+            v = big[:, -out_size:, -out_size:, :]
+        else:  # original / crop_center / unknown → center crop
+            v = center
+        views.append(normalize(v))
+    return jnp.stack(views, axis=1)

@@ -8,143 +8,204 @@ magnitude laws follow torchvision's `_augmentation_space` (num_bins=31):
   Rotate (±0..30°), Brightness/Color/Contrast/Sharpness (1 ± 0..0.9),
   Posterize (8→4 bits), Solarize (255→0 threshold), AutoContrast, Equalize
 
-Geometry ops use NEAREST + zero fill (torchvision defaults). Per-sample op
-choice/magnitude-sign (vmap over the batch, lax.switch over ops).
-Images are float32 [0,1] NHWC.
+Execution model (TPU-first): torchvision's semantics are per-sample op
+choice + per-sample sign, with the magnitude DETERMINISTIC given m. So each
+round computes every op once on the WHOLE batch (with per-sample signs) and
+per-sample `where`-selects — the distribution is identical to per-sample
+dispatch, but there are no vmapped `lax.switch` branches and no scatters
+(equalize's histogram is a fused compare-reduce, its LUT a fused
+compare-sum), which are pathological on TPU (measured 1.5 s/32 imgs for the
+naive per-sample formulation vs ~tens of ms for this one).
+
+Geometry ops use NEAREST + zero fill (torchvision defaults). Images are
+float32 [0,1] NHWC.
 """
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from fedvit_tpu.ops.image import (adjust_brightness, adjust_contrast,
-                                  adjust_saturation, grayscale)
+from fedvit_tpu.ops.image import grayscale
 
 NUM_BINS = 31
 NUM_OPS = 14
 
 
 # ---------------------------------------------------------------------------
-# Single-image affine sampling (inverse map, nearest, zero fill)
+# Batched geometry via barrel-shifter row/column shifts (ops/row_shift.py).
+#
+# Gathers are ~100 ms per (32,384,384,3) shift on this TPU in every
+# formulation; shears/translations ARE one-axis shifts and rotation is the
+# Paeth 3-shear decomposition, so everything runs on static rolls instead.
+# The full geometric family is ONE parametrized 3-pass chain
+# (x-shift → y-shift → x-shift), used by the driver with per-sample pass
+# parameters so each round pays for the chain exactly once.
 # ---------------------------------------------------------------------------
 
-def _affine_nearest(img: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
-    """img (H,W,C); inv 2x3 inverse matrix mapping output (x,y,1) → input."""
-    h, w, _ = img.shape
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
-    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
-    src_x = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2] + cx
-    src_y = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2] + cy
-    ix = jnp.round(src_x).astype(jnp.int32)
-    iy = jnp.round(src_y).astype(jnp.int32)
-    inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-    ix = jnp.clip(ix, 0, w - 1)
-    iy = jnp.clip(iy, 0, h - 1)
-    return jnp.where(inb[..., None], img[iy, ix], 0.0)
+from fedvit_tpu.ops.row_shift import col_shift as shift_cols  # noqa: E402
+from fedvit_tpu.ops.row_shift import row_shift as shift_rows  # noqa: E402
 
 
-def _shear_x(img, mag):
-    inv = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
-    inv = inv.at[0, 1].set(mag)
-    return _affine_nearest(img, inv)
+def _row_coords(b, h):
+    return jax.lax.broadcasted_iota(jnp.float32, (b, h), 1) - (h - 1) / 2.0
 
 
-def _shear_y(img, mag):
-    inv = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
-    inv = inv.at[1, 0].set(mag)
-    return _affine_nearest(img, inv)
+def geometric_chain(img: jnp.ndarray,
+                    m1: jnp.ndarray, t1: jnp.ndarray,
+                    m2: jnp.ndarray, t2: jnp.ndarray,
+                    m3: jnp.ndarray,
+                    pad: int) -> jnp.ndarray:
+    """x-shift(m1·(y−cy) + t1) → y-shift(m2·(x−cx) + t2) → x-shift(m3·(y−cy))
+    on a canvas padded by `pad` (so rotation's intermediate shears don't clip
+    content that returns inside). All params per-sample (B,)."""
+    b, h, w, c = img.shape
+    big = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hb, wb = h + 2 * pad, w + 2 * pad
+    yy = _row_coords(b, hb)
+    xx = _row_coords(b, wb)
+    big = shift_rows(big, m1[:, None] * yy + t1[:, None])
+    big = shift_cols(big, m2[:, None] * xx + t2[:, None])
+    big = shift_rows(big, m3[:, None] * yy)
+    return big[:, pad:pad + h, pad:pad + w, :]
 
 
-def _translate_x(img, px):
-    inv = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
-    inv = inv.at[0, 2].set(-px)
-    return _affine_nearest(img, inv)
+def _zeros(b):
+    return jnp.zeros((b,), jnp.float32)
 
 
-def _translate_y(img, px):
-    inv = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
-    inv = inv.at[1, 2].set(-px)
-    return _affine_nearest(img, inv)
+def shear_x(img, mag):
+    """Inverse-map src_x = x + mag·(y−cy) — torchvision ShearX. mag: (B,)."""
+    b, h = img.shape[0], img.shape[1]
+    return shift_rows(img, mag[:, None] * _row_coords(b, h))
 
 
-def _rotate(img, deg):
+def shear_y(img, mag):
+    b, w = img.shape[0], img.shape[2]
+    return shift_cols(img, mag[:, None] * _row_coords(b, w))
+
+
+def translate_x(img, px):
+    b, h = img.shape[0], img.shape[1]
+    return shift_rows(img, jnp.broadcast_to(-px[:, None], (b, h)))
+
+
+def translate_y(img, px):
+    b, w = img.shape[0], img.shape[2]
+    return shift_cols(img, jnp.broadcast_to(-px[:, None], (b, w)))
+
+
+def rotate_deg(img, deg):
+    """Per-sample rotation by the Paeth 3-shear decomposition: inverse-map
+    factors a = −tan(θ/2) on the x-passes, sin θ on the y-pass."""
+    b = img.shape[0]
     th = jnp.deg2rad(deg)
-    c, s = jnp.cos(th), jnp.sin(th)
-    inv = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
-    inv = inv.at[0, 0].set(c).at[0, 1].set(-s).at[1, 0].set(s).at[1, 1].set(c)
-    return _affine_nearest(img, inv)
+    a = -jnp.tan(th / 2.0)
+    s = jnp.sin(th)
+    pad = img.shape[1] // 3
+    return geometric_chain(img, a, _zeros(b), s, _zeros(b), a, pad)
 
 
 # ---------------------------------------------------------------------------
-# Photometric single-image ops
+# Batched photometric ops (factor: (B,))
 # ---------------------------------------------------------------------------
 
-def _sharpness(img, factor):
-    """torchvision adjust_sharpness: blend with 3x3 smoothed (border kept)."""
-    h, w, c = img.shape
-    kernel = jnp.array([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0
-    x = img.transpose(2, 0, 1)[:, None]          # (C,1,H,W)
-    k = kernel[None, None]
-    sm = jax.lax.conv_general_dilated(x, k, (1, 1), "SAME")[:, 0]
-    sm = sm.transpose(1, 2, 0)
-    # keep original border pixels (torchvision semantics)
+def _bc(f, img):
+    return f.reshape((-1,) + (1,) * (img.ndim - 1))
+
+
+def brightness(img, factor):
+    return jnp.clip(img * _bc(factor, img), 0.0, 1.0)
+
+
+def color(img, factor):
+    gray = grayscale(img)
+    f = _bc(factor, img)
+    return jnp.clip(f * img + (1 - f) * gray, 0.0, 1.0)
+
+
+def contrast(img, factor):
+    mean = grayscale(img).mean(axis=(1, 2, 3), keepdims=True)
+    f = _bc(factor, img)
+    return jnp.clip(f * img + (1 - f) * mean, 0.0, 1.0)
+
+
+def sharpness(img, factor):
+    """torchvision adjust_sharpness: blend with 3x3 smoothed, borders kept."""
+    b, h, w, c = img.shape
+    kernel = (jnp.array([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0)
+    x = img.transpose(0, 3, 1, 2).reshape(b * c, 1, h, w)
+    sm = jax.lax.conv_general_dilated(x, kernel[None, None], (1, 1), "SAME")
+    sm = sm.reshape(b, c, h, w).transpose(0, 2, 3, 1)
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     interior = ((yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1))[..., None]
     sm = jnp.where(interior, sm, img)
-    return jnp.clip(factor * img + (1.0 - factor) * sm, 0.0, 1.0)
+    f = _bc(factor, img)
+    return jnp.clip(f * img + (1.0 - f) * sm, 0.0, 1.0)
 
 
-def _posterize(img, bits):
+def posterize(img, bits: int):
     v = jnp.round(img * 255.0).astype(jnp.int32)
-    shift = 8 - bits.astype(jnp.int32)
+    shift = 8 - int(bits)
     v = (v >> shift) << shift
     return v.astype(jnp.float32) / 255.0
 
 
-def _solarize(img, threshold255):
+def solarize(img, threshold255: float):
     t = threshold255 / 255.0
     return jnp.where(img >= t, 1.0 - img, img)
 
 
-def _autocontrast(img, _):
-    mn = img.min(axis=(0, 1), keepdims=True)
-    mx = img.max(axis=(0, 1), keepdims=True)
-    scale = jnp.where(mx > mn, 1.0 / (mx - mn), 1.0)
+def autocontrast(img, _=None):
+    mn = img.min(axis=(1, 2), keepdims=True)
+    mx = img.max(axis=(1, 2), keepdims=True)
+    scale = jnp.where(mx > mn, 1.0 / jnp.where(mx > mn, mx - mn, 1.0), 1.0)
     out = jnp.where(mx > mn, (img - mn) * scale, img)
     return jnp.clip(out, 0.0, 1.0)
 
 
-def _equalize(img, _):
-    """Per-channel histogram equalization (torchvision `_scale_channel`)."""
-    def chan(x):
-        v = jnp.clip(jnp.floor(x * 255.0), 0, 255).astype(jnp.int32)
-        hist = jax.ops.segment_sum(jnp.ones_like(v.reshape(-1), jnp.float32),
-                                   v.reshape(-1), num_segments=256)
-        nz = hist > 0
-        last_nz = 255 - jnp.argmax(nz[::-1])
-        step = jnp.floor((hist.sum() - hist[last_nz]) / 255.0)
-        cum = jnp.cumsum(hist)
-        lut = jnp.floor((cum + jnp.floor(step / 2.0)) /
-                        jnp.where(step == 0, 1.0, step))
-        lut = jnp.clip(jnp.concatenate([jnp.zeros(1), lut[:-1]]), 0, 255)
-        out = lut[v] / 255.0
-        return jnp.where(step == 0, x, out)
+def equalize(img, _=None):
+    """Per-(sample, channel) histogram equalization, scatter-free.
 
-    return jnp.stack([chan(img[..., i]) for i in range(img.shape[-1])],
-                     axis=-1)
+    torchvision `_scale_channel` math; the 256-bin histogram is a fused
+    compare-reduce over pixels and the LUT application a fused compare-sum
+    over bins (no gathers/scatters — both are TPU-pathological batched)."""
+    b, h, w, c = img.shape
+    v = jnp.clip(jnp.floor(img * 255.0), 0, 255).astype(jnp.int32)
+    v_flat = v.transpose(0, 3, 1, 2).reshape(b, c, h * w)     # (B, C, P)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    # hist (B, C, 256): reduce over pixels of broadcast compare (fused)
+    hist = (v_flat[:, :, :, None] == bins).sum(axis=2).astype(jnp.float32)
+
+    nz = hist > 0
+    last_nz = 255 - jnp.argmax(nz[..., ::-1], axis=-1)        # (B, C)
+    total = jnp.float32(h * w)
+    last_val = jnp.take_along_axis(hist, last_nz[..., None], axis=-1)[..., 0]
+    step = jnp.floor((total - last_val) / 255.0)              # (B, C)
+    cum = jnp.cumsum(hist, axis=-1)
+    step_safe = jnp.where(step == 0, 1.0, step)[..., None]
+    lut = jnp.floor((cum + jnp.floor(step[..., None] / 2.0)) / step_safe)
+    lut = jnp.clip(
+        jnp.concatenate([jnp.zeros_like(lut[..., :1]), lut[..., :-1]],
+                        axis=-1), 0, 255)                     # (B, C, 256)
+    # apply LUT: out[p] = Σ_k [v[p]==k]·lut[k]  (fused, no gather)
+    out_flat = ((v_flat[:, :, :, None] == bins) *
+                lut[:, :, None, :]).sum(axis=-1)
+    out = out_flat.reshape(b, c, h, w).transpose(0, 2, 3, 1) / 255.0
+    return jnp.where(_bc_steps(step, img), img, out)
+
+
+def _bc_steps(step, img):
+    """(B, C) step==0 mask broadcast to (B, H, W, C)."""
+    return (step == 0)[:, None, None, :]
 
 
 # ---------------------------------------------------------------------------
-# RandAugment driver
+# Driver
 # ---------------------------------------------------------------------------
 
 def _magnitudes(magnitude: int, size: int):
-    """Per-op unsigned magnitude at the given bin (torchvision laws)."""
     frac = magnitude / (NUM_BINS - 1)
     return {
         "shear": 0.3 * frac,
@@ -158,50 +219,82 @@ def _magnitudes(magnitude: int, size: int):
 
 def randaugment(key: jax.Array, img: jnp.ndarray, num_ops: int = 3,
                 magnitude: int = 12) -> jnp.ndarray:
-    """Apply RandAugment to a batch (B,H,W,C) of [0,1] floats.
+    """Apply RandAugment to a batch (B, H, W, C) of [0,1] floats.
 
-    Channels beyond RGB (e.g. a mask stacked as 4th channel) must NOT be
-    passed here — the reference applies RandAugment to the image only
-    (data.py:143-144)."""
+    Channels beyond RGB (e.g. a packed mask) must NOT be passed here — the
+    reference applies RandAugment to the image only (data.py:143-144)."""
+    b = img.shape[0]
     size = img.shape[2]
     mags = _magnitudes(magnitude, size)
 
-    def op_branches(x, signed_mag_unit):
-        s = signed_mag_unit  # ±1
-        return [
-            lambda im: im,                                           # Identity
-            lambda im: _shear_x(im, s * mags["shear"]),
-            lambda im: _shear_y(im, s * mags["shear"]),
-            lambda im: _translate_x(im, s * mags["translate"]),
-            lambda im: _translate_y(im, s * mags["translate"]),
-            lambda im: _rotate(im, s * mags["rotate"]),
-            lambda im: jnp.clip(im * (1.0 + s * mags["enhance"]), 0, 1),  # Brightness
-            lambda im: _color1(im, 1.0 + s * mags["enhance"]),            # Color
-            lambda im: _contrast1(im, 1.0 + s * mags["enhance"]),         # Contrast
-            lambda im: _sharpness(im, 1.0 + s * mags["enhance"]),
-            lambda im: _posterize(im, jnp.asarray(mags["posterize"])),
-            lambda im: _solarize(im, jnp.asarray(mags["solarize"])),
-            lambda im: _autocontrast(im, None),
-            lambda im: _equalize(im, None),
-        ]
+    import math
+    rot_pad = max(8, int(math.tan(math.radians(mags["rotate"]) / 2)
+                         * (size / 2)) + 2)
 
-    def per_sample(k, im):
-        for i in range(num_ops):
-            k, k_op, k_sign = jax.random.split(k, 3)
-            op_idx = jax.random.randint(k_op, (), 0, NUM_OPS)
-            sign = jnp.where(jax.random.bernoulli(k_sign, 0.5), 1.0, -1.0)
-            im = jax.lax.switch(op_idx, op_branches(im, sign), im)
-        return im
+    for _ in range(num_ops):
+        key, k_op, k_sign = jax.random.split(key, 3)
+        op_idx = jax.random.randint(k_op, (b,), 0, NUM_OPS)
+        sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
+        enh = 1.0 + sign * mags["enhance"]
 
-    keys = jax.random.split(key, img.shape[0])
-    return jax.vmap(per_sample)(keys, img)
+        # ---- ONE geometric chain covers ops 1..5 (identity for others) ----
+        theta = jnp.deg2rad(sign * mags["rotate"])
+        a_rot = -jnp.tan(theta / 2.0)
+        s_rot = jnp.sin(theta)
+        is_rot = op_idx == 5
+        m1 = jnp.where(op_idx == 1, sign * mags["shear"],
+                       jnp.where(is_rot, a_rot, 0.0))
+        t1 = jnp.where(op_idx == 3, -sign * mags["translate"], 0.0)
+        m2 = jnp.where(op_idx == 2, sign * mags["shear"],
+                       jnp.where(is_rot, s_rot, 0.0))
+        t2 = jnp.where(op_idx == 4, -sign * mags["translate"], 0.0)
+        m3 = jnp.where(is_rot, a_rot, 0.0)
+        geo = geometric_chain(img, m1, t1, m2, t2, m3, rot_pad)
+
+        sel = op_idx.reshape(-1, 1, 1, 1)
+        out = jnp.where((sel >= 1) & (sel <= 5), geo, img)
+        for o, cand in (
+            (6, brightness(img, enh)),
+            (7, color(img, enh)),
+            (8, contrast(img, enh)),
+            (9, sharpness(img, enh)),
+            (10, posterize(img, mags["posterize"])),
+            (11, solarize(img, mags["solarize"])),
+            (12, autocontrast(img)),
+            (13, equalize(img)),
+        ):
+            out = jnp.where(sel == o, cand, out)
+        img = out
+    return img
 
 
-def _color1(im, factor):
-    gray = grayscale(im)
-    return jnp.clip(factor * im + (1 - factor) * gray, 0.0, 1.0)
+# Backwards-compatible aliases used by tests (single-image semantics work
+# on batches too since all ops are batched).
+def _posterize(im, bits):
+    return posterize(im[None] if im.ndim == 3 else im, int(bits))[0] \
+        if im.ndim == 3 else posterize(im, int(bits))
 
 
-def _contrast1(im, factor):
-    mean = grayscale(im).mean()
-    return jnp.clip(factor * im + (1 - factor) * mean, 0.0, 1.0)
+def _solarize(im, t):
+    x = im[None] if im.ndim == 3 else im
+    r = solarize(x, float(t))
+    return r[0] if im.ndim == 3 else r
+
+
+def _autocontrast(im, _=None):
+    x = im[None] if im.ndim == 3 else im
+    r = autocontrast(x)
+    return r[0] if im.ndim == 3 else r
+
+
+def _equalize(im, _=None):
+    x = im[None] if im.ndim == 3 else im
+    r = equalize(x)
+    return r[0] if im.ndim == 3 else r
+
+
+def _sharpness(im, f):
+    x = im[None] if im.ndim == 3 else im
+    ff = jnp.full((x.shape[0],), f, jnp.float32)
+    r = sharpness(x, ff)
+    return r[0] if im.ndim == 3 else r

@@ -31,8 +31,14 @@ from fedvit_tpu.train.state import TrainState
 
 
 def make_train_step(cfg: Config, loss_fn: LossFn,
-                    donate: bool = True) -> Callable:
-    """Build the jitted train step for a config."""
+                    donate: bool = False) -> Callable:
+    """Build the jitted train step for a config.
+
+    donate=True aliases the old state's buffers into the new state (halves
+    peak param/opt-state HBM). It is OFF by default because the axon TPU
+    tunnel backend rejects donated multi-step execution with
+    INVALID_ARGUMENT (verified empirically); enable on standard TPU
+    runtimes."""
     t = cfg.training
     aug = cfg.augmentation
     accum = max(1, t.gradient_accumulation_steps)
