@@ -232,7 +232,7 @@ class FederatedConfig:
     implemented (see SURVEY.md §0/§2.3)."""
     enabled: bool = False
     num_clients: int = 4
-    clients_per_round: int = 4      # full participation by default
+    clients_per_round: int = 0      # 0 = all clients (full participation)
     rounds: int = 10
     local_epochs: int = 1
     local_steps: int = 0            # >0 overrides local_epochs with a fixed count

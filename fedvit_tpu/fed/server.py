@@ -118,17 +118,31 @@ def train_federated(
     params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
     bstats = jax.tree.map(lambda x: jax.device_put(x, rep), bstats)
 
+    # partial participation: sample clients_per_round of num_clients each
+    # round (client-axis width stays static = clients_per_round)
+    cpr = fed.clients_per_round or fed.num_clients
+    cpr = min(cpr, fed.num_clients)
+    assert cpr % mesh.shape[fed.mesh_axis] == 0 or cpr == fed.num_clients, (
+        f"clients_per_round={cpr} must tile the mesh axis "
+        f"({mesh.shape[fed.mesh_axis]})")
+
     for rnd in range(1, fed.rounds + 1):
         t0 = time.time()
+        if cpr < fed.num_clients:
+            active = np.sort(rng.choice(fed.num_clients, cpr, replace=False))
+        else:
+            active = np.arange(fed.num_clients)
+        w_round = weights[active]
+        w_round = w_round / w_round.sum()
         per_client = [
             sample_client_batches(train_data, parts[c], local_steps, bs, rng,
                                   weighted=cfg.training.use_weighted_sampler)
-            for c in range(fed.num_clients)
+            for c in active
         ]
         stacked = {k: np.stack([pc[k] for pc in per_client])
                    for k in per_client[0]}
         batches = {k: cl(jnp.asarray(v)) for k, v in stacked.items()}
-        w_dev = cl(jnp.asarray(weights))
+        w_dev = cl(jnp.asarray(w_round))
 
         key, round_key = jax.random.split(key)
         params, bstats, metrics = round_fn(params, bstats, batches, w_dev,

@@ -1,0 +1,107 @@
+"""Pretrained-weight import — torch/timm state-dicts → our param pytrees.
+
+The reference relies on timm's pretrained download (model.py:112-117) and
+performs 4-channel patch-embed surgery on the loaded conv: RGB weights are
+kept, the 4th (mask) channel is initialized to the MEAN of the RGB kernels,
+bias copied (model.py:150-166). This module provides:
+
+  * expand_patch_embed_in_channels(params, ...) — the exact surgery, on our
+    native ViT params (works on randomly-initialized or imported weights)
+  * import_torch_vit(state_dict, params) — map a timm-style ViT state dict
+    (torch tensors or numpy) onto our VisionTransformer param tree, for
+    offline-converted checkpoints (no network on this host).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+
+def expand_patch_embed_in_channels(params: Any, old_in: int = 3,
+                                   new_in: int = 4,
+                                   patch_size: int = 16) -> Any:
+    """Widen a ViT patch-embed kernel from old_in to new_in channels.
+
+    Our PatchEmbed kernel is a Dense of shape (P·P·C_in, D) over pixels laid
+    out as (py, px, c) — channel fastest. New channels get the mean over the
+    existing channels at the same pixel (reference model.py:159-162).
+    """
+    flat = traverse_util.flatten_dict(params)
+    key = None
+    for k in flat:
+        if "patch_embed" in k and k[-1] == "kernel":
+            key = k
+            break
+    assert key is not None, "no patch_embed kernel found"
+    w = np.asarray(flat[key])
+    d = w.shape[-1]
+    pp = w.shape[0] // old_in
+    assert pp * old_in == w.shape[0], (
+        f"kernel rows {w.shape[0]} not divisible by in_channels {old_in}")
+    w_pix = w.reshape(pp, old_in, d)
+    mean = w_pix.mean(axis=1, keepdims=True)
+    extra = np.repeat(mean, new_in - old_in, axis=1)
+    w_new = np.concatenate([w_pix, extra], axis=1).reshape(pp * new_in, d)
+    flat = dict(flat)
+    flat[key] = jnp.asarray(w_new)
+    return traverse_util.unflatten_dict(flat)
+
+
+def _to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def import_torch_vit(state_dict: Dict[str, Any], params: Any,
+                     depth: int, patch_size: int = 16) -> Any:
+    """Map a timm ViT state dict onto our VisionTransformer params.
+
+    Handles: patch_embed conv → pixel-major Dense kernel, cls token,
+    pos_embed, per-block qkv/proj/mlp/norms, final norm. Unmatched target
+    leaves keep their current values; unconsumed source keys are returned is
+    not — strictness is the caller's business (we assert on shape errors).
+    """
+    flat = dict(traverse_util.flatten_dict(params))
+
+    def put(path, value):
+        assert path in flat, f"target missing: {path}"
+        assert flat[path].shape == value.shape, (
+            f"{path}: {flat[path].shape} vs {value.shape}")
+        flat[path] = jnp.asarray(value)
+
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+
+    # patch embed: torch conv (D, C, P, P) → rows (py, px, c) × D
+    w = sd["patch_embed.proj.weight"]
+    d_out, c_in, p, _ = w.shape
+    w = w.transpose(2, 3, 1, 0).reshape(p * p * c_in, d_out)
+    put(("patch_embed", "proj", "kernel"), w)
+    put(("patch_embed", "proj", "bias"), sd["patch_embed.proj.bias"])
+    put(("cls_token",), sd["cls_token"])
+    put(("pos_embed",), sd["pos_embed"])
+
+    for i in range(depth):
+        tp = f"blocks.{i}."
+        op = (f"blocks_{i}",)
+        put(op + ("norm1", "scale"), sd[tp + "norm1.weight"])
+        put(op + ("norm1", "bias"), sd[tp + "norm1.bias"])
+        put(op + ("attn", "qkv", "kernel"), sd[tp + "attn.qkv.weight"].T)
+        put(op + ("attn", "qkv", "bias"), sd[tp + "attn.qkv.bias"])
+        put(op + ("attn", "proj", "kernel"), sd[tp + "attn.proj.weight"].T)
+        put(op + ("attn", "proj", "bias"), sd[tp + "attn.proj.bias"])
+        put(op + ("norm2", "scale"), sd[tp + "norm2.weight"])
+        put(op + ("norm2", "bias"), sd[tp + "norm2.bias"])
+        put(op + ("mlp", "Dense_0", "kernel"), sd[tp + "mlp.fc1.weight"].T)
+        put(op + ("mlp", "Dense_0", "bias"), sd[tp + "mlp.fc1.bias"])
+        put(op + ("mlp", "Dense_1", "kernel"), sd[tp + "mlp.fc2.weight"].T)
+        put(op + ("mlp", "Dense_1", "bias"), sd[tp + "mlp.fc2.bias"])
+
+    put(("norm", "scale"), sd["norm.weight"])
+    put(("norm", "bias"), sd["norm.bias"])
+    return traverse_util.unflatten_dict(flat)

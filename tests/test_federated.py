@@ -148,3 +148,23 @@ def test_fedavg_matches_single_device_semantics():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
     assert abs(float(m8["loss"]) - float(m1["loss"])) < 1e-3
+
+
+def test_partial_participation():
+    """clients_per_round < num_clients: each round samples a client subset;
+    the client-axis width stays static."""
+    cfg = fed_cfg(num_clients=16, rounds=3)
+    import dataclasses
+    cfg = cfg.replace(federated=dataclasses.replace(
+        cfg.federated, clients_per_round=8))
+    model = build_model(cfg)
+    import jax.numpy as jnp
+    rng = jax.random.key(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 13)))
+    data = make_synthetic_dataset(n=256, image_size=32, seed=0)
+    logs = []
+    result = train_federated(cfg, model, variables, data, eval_data=None,
+                             mesh=client_mesh(), log_fn=logs.append)
+    assert len(result.history) == 3
+    assert all(np.isfinite(h["loss"]) for h in result.history)
