@@ -74,6 +74,7 @@ class ModelConfig:
     # compute dtype for matmuls/activations; params stay fp32
     compute_dtype: str = "bfloat16"
     attention_impl: str = "auto"   # "auto" | "pallas" | "xla"
+    remat: bool = False            # rematerialize transformer blocks
 
 
 @dataclass(frozen=True)

@@ -53,12 +53,13 @@ class ISICClassifier(nn.Module):
     # compute
     compute_dtype: str = "bfloat16"
     attention_impl: str = "auto"
+    remat: bool = False
 
     def setup(self):
         self.backbone, self.backbone_dim = build_backbone(
             self.backbone_name, self.image_size, self.in_channels,
             self.drop_path_rate, self.pool, self.compute_dtype,
-            self.attention_impl, self.pretrained)
+            self.attention_impl, self.pretrained, self.remat)
 
         if self.seg_enabled:
             from fedvit_tpu.models.unet import SegmentationBranch
@@ -162,6 +163,7 @@ def build_model(cfg: Config) -> ISICClassifier:
         fusion_type=m.segmentation.fusion_type,
         compute_dtype=m.compute_dtype,
         attention_impl=m.attention_impl,
+        remat=m.remat,
     )
 
 

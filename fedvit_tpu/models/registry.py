@@ -46,7 +46,8 @@ def build_backbone(name: str, image_size: int, in_channels: int = 3,
                    drop_path_rate: float = 0.1, pool: str = "cls",
                    compute_dtype: str = "float32",
                    attention_impl: str = "auto",
-                   pretrained: bool = False) -> Tuple[Any, int]:
+                   pretrained: bool = False,
+                   remat: bool = False) -> Tuple[Any, int]:
     """Returns (module, num_features)."""
     if pretrained:
         warnings.warn(
@@ -61,7 +62,7 @@ def build_backbone(name: str, image_size: int, in_channels: int = 3,
         mod = VisionTransformer(
             image_size=image_size, patch_size=patch, in_channels=in_channels,
             drop_path_rate=drop_path_rate, pool=pool, dtype=_dtype(compute_dtype),
-            attention_impl=attention_impl, **cfg)
+            attention_impl=attention_impl, remat=remat, **cfg)
         return mod, cfg["embed_dim"]
 
     if name.startswith("swin"):
@@ -81,7 +82,7 @@ def build_backbone(name: str, image_size: int, in_channels: int = 3,
         mod = SwinTransformerV2(
             image_size=image_size, in_channels=in_channels,
             drop_path_rate=drop_path_rate, dtype=_dtype(compute_dtype),
-            attention_impl=attention_impl, **spec)
+            attention_impl=attention_impl, remat=remat, **spec)
         return mod, mod.num_features
 
     raise ValueError(f"Unknown backbone: {name}")

@@ -241,11 +241,14 @@ class SwinStage(nn.Module):
     downsample: bool
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        block_cls = (nn.remat(SwinBlockV2, static_argnums=(2,))
+                     if self.remat else SwinBlockV2)
         for blk in range(self.depth):
-            x = SwinBlockV2(
+            x = block_cls(
                 num_heads=self.num_heads,
                 window=self.window,
                 shift=0 if blk % 2 == 0 else self.window // 2,
@@ -273,6 +276,7 @@ class SwinTransformerV2(nn.Module):
     drop_path_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    remat: bool = False
 
     @property
     def num_features(self) -> int:
@@ -307,6 +311,7 @@ class SwinTransformerV2(nn.Module):
                 downsample=(s < len(self.depths) - 1),
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
+                remat=self.remat,
                 name=f"layers_{s}")(x, deterministic)
             di += depth
 

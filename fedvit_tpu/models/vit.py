@@ -85,6 +85,7 @@ class VisionTransformer(nn.Module):
     pool: str = "cls"               # "cls" | "mean"
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    remat: bool = False             # rematerialize blocks (HBM ↔ FLOPs trade)
 
     @property
     def num_features(self) -> int:
@@ -110,10 +111,12 @@ class VisionTransformer(nn.Module):
 
         dpr = [self.drop_path_rate * i / max(1, self.depth - 1)
                for i in range(self.depth)]
+        block_cls = (nn.remat(ViTBlock, static_argnums=(2,))
+                     if self.remat else ViTBlock)
         for i in range(self.depth):
-            x = ViTBlock(self.num_heads, self.mlp_ratio, self.dropout, dpr[i],
-                         self.dtype, self.attention_impl, name=f"blocks_{i}")(
-                             x, deterministic)
+            x = block_cls(self.num_heads, self.mlp_ratio, self.dropout, dpr[i],
+                          self.dtype, self.attention_impl, name=f"blocks_{i}")(
+                              x, deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
 
         if return_tokens:
