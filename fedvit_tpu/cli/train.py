@@ -55,8 +55,8 @@ def main(argv=None) -> int:
                                       print_class_distribution)
     from fedvit_tpu.data.pipeline import HostDataSource
     from fedvit_tpu.data.splits import make_cv_splits
-    from fedvit_tpu.eval.metrics import classification_report, compute_metrics
-    from fedvit_tpu.train.loop import train_fold
+    from fedvit_tpu.eval.metrics import classification_report
+    from fedvit_tpu.train.loop import ensemble_folds, train_fold
 
     cfg = load_config(args.config).replace(seed=args.seed)
     logger = setup_logging(args.log)
@@ -98,18 +98,20 @@ def main(argv=None) -> int:
                             log=fold_log.info, resume=args.resume)
         all_logits.append(logits)
 
-    valid = [lg for lg in all_logits if len(lg) > 0]
-    if valid and test_source is not None:
-        avg = np.mean(valid, axis=0)
-        preds = avg.argmax(axis=1)
+    has_gt = has_real_test_labels(test_df)
+    ens = (ensemble_folds(all_logits, test_df["label"].values,
+                          cfg.num_classes, log, compute=has_gt)
+           if test_source is not None else {})
+    if ens:
+        avg = ens["ensemble_logits"]
         os.makedirs(args.log, exist_ok=True)
         np.save(os.path.join(args.log, "ensemble_logits.npy"), avg)
         log(f"  Ensemble logits saved → {args.log}/ensemble_logits.npy")
-        if has_real_test_labels(test_df):
+        # metrics only with real ground truth (placeholder gate, train.py:459)
+        if has_gt:
+            preds = avg.argmax(axis=1)
             labels_t = test_df["label"].values
-            m = compute_metrics(labels_t, preds, cfg.num_classes)
-            log(f"  {len(valid)}-Fold ENSEMBLE  acc {m['accuracy']:.4f} | "
-                f"bal {m['balanced_accuracy']:.4f} | f1 {m['macro_f1']:.4f}")
+            m = ens["ensemble_metrics"]
             log("\n" + classification_report(labels_t, preds,
                                              list(cfg.class_names)))
             log(f"Confusion Matrix:\n{m['confusion_matrix']}")

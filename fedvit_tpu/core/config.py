@@ -241,6 +241,10 @@ class FederatedConfig:
     dirichlet_alpha: float = 0.5
     server_lr: float = 1.0          # FedAvg step size on aggregated delta
     mesh_axis: str = "client"
+    # apply the train-time device augmentation inside each local step
+    # (False still applies the eval transform = resize/crop + normalization,
+    # so clients NEVER train on unnormalized pixels)
+    augment: bool = True
 
 
 @dataclass(frozen=True)

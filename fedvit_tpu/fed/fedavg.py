@@ -18,8 +18,7 @@ One federated round is ONE compiled XLA program.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -52,12 +51,21 @@ def make_local_train(cfg: Config, apply_fn: Callable, loss_fn: LossFn,
 
     (params, batch_stats, batches{(S,B,...)}, rng) →
         (params', batch_stats', mean_loss)
-    """
+
+    Each local step runs the on-device augmentation pipeline
+    (data/pipeline.make_device_augment): the reference's train transform +
+    normalization when federated.augment, else the eval transform — clients
+    always see the same input distribution as the fold trainer."""
+    from fedvit_tpu.data.pipeline import make_device_augment
     mix_fn = make_mix_fn(cfg.augmentation)
     use_meta = cfg.model.metadata.enabled
+    augment_fn = make_device_augment(cfg, train=cfg.federated.augment)
 
     def loss_and_stats(params, bstats, images, labels, metadata, rng):
-        rng_mix, rng_drop = jax.random.split(rng)
+        rng_aug, rng_mix, rng_drop = jax.random.split(rng, 3)
+        aug = augment_fn({"image": images, "label": labels,
+                          "metadata": metadata}, rng_aug)
+        images = aug["image"]
         if mix_fn is not None:
             images, la, lb, lam = mix_fn(rng_mix, images, labels)
         out, mutated = apply_fn(
@@ -162,9 +170,8 @@ def make_federated_round(cfg: Config, apply_fn: Callable, loss_fn: LossFn,
     return jax.jit(sharded)
 
 
-def stack_client_batches(per_client_batches) -> Dict[str, jnp.ndarray]:
+def stack_client_batches(per_client_batches) -> Dict[str, "np.ndarray"]:
     """List of per-client {key: (S, B, ...)} dicts → {key: (C, S, B, ...)}."""
     import numpy as np
-    keys = per_client_batches[0].keys()
     return {k: np.stack([cb[k] for cb in per_client_batches], axis=0)
-            for k in keys}
+            for k in per_client_batches[0]}

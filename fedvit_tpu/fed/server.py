@@ -22,7 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fedvit_tpu.core.config import Config
 from fedvit_tpu.data.constants import NUM_CLASSES
 from fedvit_tpu.eval.metrics import compute_metrics
-from fedvit_tpu.fed.fedavg import make_federated_round
+from fedvit_tpu.fed.fedavg import (make_federated_round,
+                                   stack_client_batches)
 from fedvit_tpu.fed.partition import client_weights, partition
 from fedvit_tpu.train.ema import ema_init, ema_update
 from fedvit_tpu.train.losses import build_loss
@@ -34,12 +35,13 @@ def sample_client_batches(data: Dict[str, np.ndarray],
                           local_steps: int, batch_size: int,
                           rng: np.random.Generator,
                           weighted: bool = True,
-                          keys=("image", "label", "metadata")) -> Dict[str, np.ndarray]:
+                          keys=("image", "label", "metadata"),
+                          num_classes: int = NUM_CLASSES) -> Dict[str, np.ndarray]:
     """Sample (local_steps, batch, ...) arrays from one client's partition,
     with replacement, optionally inverse-class-frequency weighted."""
     labels = data["label"][part_idx]
     if weighted and len(labels):
-        counts = np.bincount(labels, minlength=NUM_CLASSES).astype(np.float64)
+        counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
         counts[counts == 0] = 1.0
         w = (1.0 / counts)[labels]
         p = w / w.sum()
@@ -136,11 +138,11 @@ def train_federated(
         w_round = w_round / w_round.sum()
         per_client = [
             sample_client_batches(train_data, parts[c], local_steps, bs, rng,
-                                  weighted=cfg.training.use_weighted_sampler)
+                                  weighted=cfg.training.use_weighted_sampler,
+                                  num_classes=cfg.num_classes)
             for c in active
         ]
-        stacked = {k: np.stack([pc[k] for pc in per_client])
-                   for k in per_client[0]}
+        stacked = stack_client_batches(per_client)
         batches = {k: cl(jnp.asarray(v)) for k, v in stacked.items()}
         w_dev = cl(jnp.asarray(w_round))
 

@@ -16,8 +16,8 @@ SwinV2 specifics implemented (Liu et al. 2022, timm semantics):
 
 Layout: tokens kept as (B, H, W, C) between blocks (NHWC, XLA-native);
 window partition is a reshape/transpose, so every attention call is one
-batched (B·nW, w², heads, d) fused attention (ops/attention.py — the
-relative-position bias keeps Swin on the XLA path; see
+batched (B·nW, w², heads, d) attention. Swin stays on the XLA attention path
+(the trainable relative-position bias needs a differentiable bias term; see
 ops/flash_attention.py docstring).
 """
 
@@ -31,7 +31,6 @@ import numpy as np
 from flax import linen as nn
 
 from fedvit_tpu.models.layers import DropPath, Mlp, trunc_normal_init
-from fedvit_tpu.ops.attention import dot_product_attention
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from fedvit_tpu.ops.image import grayscale
+from fedvit_tpu.ops.image import (adjust_brightness,
+                                  adjust_contrast,
+                                  adjust_saturation, grayscale)
 
 NUM_BINS = 31
 NUM_OPS = 14
@@ -114,20 +116,11 @@ def _bc(f, img):
     return f.reshape((-1,) + (1,) * (img.ndim - 1))
 
 
-def brightness(img, factor):
-    return jnp.clip(img * _bc(factor, img), 0.0, 1.0)
-
-
-def color(img, factor):
-    gray = grayscale(img)
-    f = _bc(factor, img)
-    return jnp.clip(f * img + (1 - f) * gray, 0.0, 1.0)
-
-
-def contrast(img, factor):
-    mean = grayscale(img).mean(axis=(1, 2, 3), keepdims=True)
-    f = _bc(factor, img)
-    return jnp.clip(f * img + (1 - f) * mean, 0.0, 1.0)
+# photometric ops shared with ColorJitter (ops/image.py — one source of
+# truth for the torchvision blending semantics)
+brightness = adjust_brightness
+color = adjust_saturation
+contrast = adjust_contrast
 
 
 def sharpness(img, factor):

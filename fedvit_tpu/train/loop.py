@@ -56,12 +56,17 @@ def init_model_state(cfg: Config, tx, rng_seed: int = 0,
 
 
 def _evaluate(eval_step, augment, params, batch_stats, source, batch_size,
-              num_classes: int, pad_to_batch: bool = True) -> Dict:
-    """Full-dataset eval → metric dict (reference validate/evaluate)."""
+              num_classes: int, loss_fn=None,
+              pad_to_batch: bool = True) -> Dict:
+    """Full-dataset eval → metric dict (reference validate/evaluate).
+
+    The loss is computed on the TRIMMED logits so ragged final batches
+    (padded on device for static shapes) don't bias it."""
     y_true: List[int] = []
     y_pred: List[int] = []
     probs: List[np.ndarray] = []
     losses: List[Tuple[float, int]] = []
+    all_logits: List[np.ndarray] = []
     for batch in source.sequential_batches(batch_size):
         n = len(batch["label"])
         if pad_to_batch and n < batch_size:   # static shapes: pad + trim
@@ -70,12 +75,16 @@ def _evaluate(eval_step, augment, params, batch_stats, source, batch_size,
                      for k, v in batch.items()}
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         jb = augment(jb, jax.random.key(0))
-        logits, loss = eval_step(params, batch_stats, jb)
+        logits, _ = eval_step(params, batch_stats, jb)
         logits = np.asarray(logits)[:n]
-        y_true.extend(np.asarray(batch["label"])[:n].tolist())
+        labels_n = np.asarray(batch["label"])[:n]
+        y_true.extend(labels_n.tolist())
         y_pred.extend(logits.argmax(-1).tolist())
         probs.append(_softmax(logits))
-        losses.append((float(loss), n))
+        all_logits.append(logits)
+        if loss_fn is not None:
+            losses.append((float(loss_fn(jnp.asarray(logits),
+                                         jnp.asarray(labels_n))), n))
     m = compute_metrics(y_true, y_pred, num_classes,
                         np.concatenate(probs) if probs else None)
     total = sum(n for _, n in losses) or 1
@@ -141,9 +150,11 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
     """Train one CV fold end-to-end; returns test-set logits (N, C) —
     the contract of reference train_fold (train.py:221-371)."""
     t = cfg.training
-    steps_per_epoch = max(1, len(train_source) // t.batch_size)
-    opt_steps_per_epoch = max(1, steps_per_epoch
-                              // max(1, t.gradient_accumulation_steps))
+    accum = max(1, t.gradient_accumulation_steps)
+    # the train step consumes MACRO batches of physical_bs * accum and does
+    # one optimizer step per call (step.py contract: B = accum * micro)
+    macro_bs = t.batch_size * accum
+    opt_steps_per_epoch = max(1, len(train_source) // macro_bs)
 
     loss_fn = build_loss(cfg)
     # build params first (tx needs the param tree only for LLRD scales)
@@ -192,7 +203,7 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
         for ep in range(1, t.two_stage.stage1_epochs + 1):
             losses = []
             for batch in train_source.epoch_batches(
-                    t.batch_size, rng_np, t.use_weighted_sampler):
+                    macro_bs, rng_np, t.use_weighted_sampler):
                 jb = {k: jnp.asarray(v) for k, v in batch.items()}
                 jb = augment_train(jb, jax.random.fold_in(
                     jax.random.key(cfg.seed + ep), len(losses)))
@@ -210,7 +221,7 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
         t0 = time.time()
         losses = []
         for i, batch in enumerate(train_source.epoch_batches(
-                t.batch_size, rng_np, t.use_weighted_sampler)):
+                macro_bs, rng_np, t.use_weighted_sampler)):
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             aug_key = jax.random.fold_in(
                 jax.random.key(cfg.seed * 1000 + epoch), i)
@@ -222,7 +233,7 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
         # EMA-swapped validation (reference train.py:289-295)
         val = _evaluate(eval_step, augment_eval, state.eval_params(),
                         state.batch_stats, val_source, t.batch_size,
-                        cfg.num_classes)
+                        cfg.num_classes, loss_fn=loss_fn)
         lr_now = float(schedule(state.step))
         log(f"  E{epoch:02d} | trn_loss {train_loss:.4f} | "
             f"val_loss {val['loss']:.4f} | val_acc {val['accuracy']:.4f} | "
@@ -268,7 +279,7 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
         test_eval_step = make_eval_step(model.apply, cfg, cross_entropy_loss)
         res = _evaluate(test_eval_step, augment_eval, eval_params,
                         state.batch_stats, test_source, t.batch_size,
-                        cfg.num_classes)
+                        cfg.num_classes, loss_fn=cross_entropy_loss)
         logits = res["probs"]
         preds = logits.argmax(-1).tolist()
         labels = [int(l) for l in test_source.labels]
@@ -285,6 +296,26 @@ def optax_identity():
     return optax.identity()
 
 
+def ensemble_folds(fold_logits, test_labels, num_classes: int,
+                   log: Callable[[str], None] = print,
+                   compute: bool = True) -> Dict:
+    """Fold-averaged logit ensemble (reference main, train.py:446-472).
+
+    Returns {} when no fold produced test logits."""
+    valid = [lg for lg in fold_logits if len(lg) > 0]
+    if not valid:
+        return {}
+    avg = np.mean(valid, axis=0)
+    out: Dict = {"ensemble_logits": avg, "n_folds": len(valid)}
+    if compute:
+        preds = avg.argmax(axis=1)
+        m = compute_metrics(np.asarray(test_labels), preds, num_classes)
+        out["ensemble_metrics"] = m
+        log(f"\n  {len(valid)}-Fold ENSEMBLE — acc {m['accuracy']:.4f} | "
+            f"bal {m['balanced_accuracy']:.4f} | f1 {m['macro_f1']:.4f}")
+    return out
+
+
 def run_experiment(cfg: Config, sources_per_fold, test_source=None,
                    workdir: Optional[str] = None, fold: int = -1,
                    log: Callable[[str], None] = print) -> Dict:
@@ -298,14 +329,7 @@ def run_experiment(cfg: Config, sources_per_fold, test_source=None,
         all_logits.append(logits)
 
     result: Dict = {"fold_logits": all_logits}
-    valid = [lg for lg in all_logits if len(lg) > 0]
-    if valid and test_source is not None and len(test_source) > 0:
-        avg = np.mean(valid, axis=0)
-        preds = avg.argmax(axis=1)
-        labels = np.asarray(test_source.labels)
-        result["ensemble_logits"] = avg
-        m = compute_metrics(labels, preds, cfg.num_classes)
-        result["ensemble_metrics"] = m
-        log(f"\n  {len(valid)}-Fold ENSEMBLE — acc {m['accuracy']:.4f} | "
-            f"bal {m['balanced_accuracy']:.4f} | f1 {m['macro_f1']:.4f}")
+    if test_source is not None and len(test_source) > 0:
+        result.update(ensemble_folds(all_logits, test_source.labels,
+                                     cfg.num_classes, log))
     return result

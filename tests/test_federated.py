@@ -23,8 +23,12 @@ def fed_cfg(num_clients=8, rounds=2, **model_over):
         "training": {"batch_size": 8, "optimizer": {"lr": 3e-4},
                      "ema": {"enabled": True, "decay": 0.9},
                      "gradient_accumulation_steps": 1},
-        "augmentation": {"mixup": {"enabled": False},
-                         "cutmix": {"enabled": False}},
+        "augmentation": {
+            "train": {"rotation": 0,
+                      "randaugment": {"enabled": False},
+                      "color_jitter": {"brightness": 0, "contrast": 0,
+                                       "saturation": 0, "hue": 0}},
+            "mixup": {"enabled": False}, "cutmix": {"enabled": False}},
         "loss": {"type": "ce"},
         "federated": {"enabled": True, "num_clients": num_clients,
                       "rounds": rounds, "local_steps": 4,

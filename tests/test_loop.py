@@ -111,3 +111,27 @@ def test_two_stage_schedule(tmp_path, sources):
     logs = []
     train_fold(cfg, 3, train, val, None, workdir=None, log=logs.append)
     assert any("[stage1]" in l for l in logs)
+
+
+def test_accumulation_contract(tmp_path, sources):
+    """One optimizer step per MACRO batch (physical_bs × accum): after one
+    epoch over N samples, state.step == N // (bs·accum) — pins the reviewed
+    bug where train_fold fed physical batches to the accumulating step."""
+    train, val, _ = sources  # 128 samples
+    cfg = loop_cfg(tmp_path, epochs=1,
+                   training={"batch_size": 8,
+                             "gradient_accumulation_steps": 2})
+    train_fold(cfg, 7, train, val, None, workdir=str(tmp_path),
+               log=lambda s: None)
+    from fedvit_tpu.train import checkpoint as ckpt
+    from fedvit_tpu.train.loop import init_model_state, optax_identity
+    from fedvit_tpu.train.optim import build_optimizer
+    from fedvit_tpu.train.state import TrainState
+    import jax
+    model, st0 = init_model_state(cfg, optax_identity(), cfg.seed + 7)
+    tx, _ = build_optimizer(cfg, st0.params, 8)
+    state = TrainState.create(model.apply, st0.params, st0.batch_stats, tx,
+                              jax.random.key(0))
+    meta = ckpt.load_checkpoint(str(tmp_path / "resume_fold7"), state)
+    assert int(meta["state"].step) == 128 // (8 * 2), (
+        f"expected 8 optimizer steps, got {int(meta['state'].step)}")
