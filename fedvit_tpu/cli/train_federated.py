@@ -79,26 +79,11 @@ def main(argv=None) -> int:
             tsrc = HostDataSource(test_df, cfg)
             eval_data = tsrc.gather(np.arange(len(tsrc)))
 
-    # NOTE: federated batches feed the model directly; resize host-side to
-    # the model input size if the canvas differs.
+    # Images stay raw (uint8 canvas or [0,1] float): every client's local
+    # step and the per-round eval run the device augmentation pipeline
+    # (fed/fedavg.make_local_train, fed/server.train_federated), which owns
+    # the canvas→image_size geometry and normalization.
     size = cfg.model.image_size
-    if train_data["image"].shape[1] != size:
-        import jax.image
-        def dev_resize(a):
-            x = jnp.asarray(a, jnp.float32)
-            if a.dtype == np.uint8:
-                x = x / 255.0
-            return np.asarray(jax.image.resize(
-                x, (a.shape[0], size, size, a.shape[-1]), "linear"))
-        train_data = dict(train_data,
-                          image=dev_resize(train_data["image"]))
-        if eval_data is not None:
-            eval_data = dict(eval_data, image=dev_resize(eval_data["image"]))
-
-    # normalize uint8 → float
-    for d in (train_data, eval_data):
-        if d is not None and d["image"].dtype == np.uint8:
-            d["image"] = d["image"].astype(np.float32) / 255.0
 
     # ---- model + run -------------------------------------------------------
     model = build_model(cfg)

@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fedvit_tpu.core.config import Config
 from fedvit_tpu.data.constants import NUM_CLASSES
+from fedvit_tpu.data.pipeline import make_device_augment
 from fedvit_tpu.eval.metrics import compute_metrics
 from fedvit_tpu.fed.fedavg import (make_federated_round,
                                    stack_client_batches)
@@ -108,6 +109,11 @@ def train_federated(
     ema_enabled = cfg.training.ema.enabled
     ema_params = ema_init(params) if ema_enabled else None
     eval_step = make_eval_step(model.apply, cfg)
+    # eval batches go through the SAME deterministic pipeline as training
+    # inputs (eval geometry + ImageNet/mask normalization) — clients train on
+    # normalized inputs via make_local_train, so raw images here would put
+    # every reported metric on an input distribution the model never sees
+    augment_eval = jax.jit(make_device_augment(cfg, train=False))
 
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
@@ -161,12 +167,22 @@ def train_federated(
             y_true, y_pred, probs = [], [], []
             n = len(eval_data["label"])
             for s in range(0, n, eval_batch_size):
-                batch = {k: jnp.asarray(v[s:s + eval_batch_size])
-                         for k, v in eval_data.items() if k != "mask"}
+                raw = {k: v[s:s + eval_batch_size]
+                       for k, v in eval_data.items() if k != "mask"}
+                nb = len(raw["label"])
+                if nb < eval_batch_size:   # pad → ONE compiled shape
+                    pad = eval_batch_size - nb
+                    raw = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                           for k, v in raw.items()}
+                batch = augment_eval({k: jnp.asarray(v)
+                                      for k, v in raw.items()},
+                                     jax.random.key(0))
                 logits, _ = eval_step(eval_params, bstats, batch)
-                probs.append(np.asarray(jax.nn.softmax(logits, -1)))
-                y_pred.extend(np.argmax(np.asarray(logits), -1).tolist())
-                y_true.extend(np.asarray(batch["label"]).tolist())
+                logits = np.asarray(logits)[:nb]
+                probs.append(np.asarray(
+                    jax.nn.softmax(jnp.asarray(logits), -1)))
+                y_pred.extend(np.argmax(logits, -1).tolist())
+                y_true.extend(np.asarray(raw["label"])[:nb].tolist())
             m = compute_metrics(y_true, y_pred, cfg.num_classes,
                                 np.concatenate(probs))
             entry.update({k: m[k] for k in

@@ -58,7 +58,11 @@ def llrd_scale_tree(params: Any, decay: float = 0.75,
         if len(path) == 1:
             return decay ** (n + 1)
         name = path[1]
-        if name in ("patch_embed", "cls_token", "pos_embed", "absolute_pos_embed"):
+        if name in ("patch_embed", "patch_norm", "cls_token", "pos_embed",
+                    "absolute_pos_embed"):
+            # patch_norm is Swin's patch-embed LayerNorm — lives inside
+            # backbone.patch_embed in the reference/timm and takes the lowest
+            # LLRD scale (reference model.py:249-252)
             return decay ** (n + 1)
         if name.startswith(("blocks_", "layers_")):
             i = int(name.split("_")[-1])
@@ -111,11 +115,12 @@ def build_optimizer(
     chain.append(optax.scale_by_adam(b1=opt.b1, b2=opt.b2, eps=opt.eps))
     if opt.weight_decay:
         chain.append(optax.add_decayed_weights(opt.weight_decay))
-    if t.llrd.enabled and t.llrd.decay_rate != 1.0:
-        chain.append(scale_by_tree(llrd_scale_tree(
-            params, t.llrd.decay_rate, t.llrd.head_lr_mult)))
-    elif t.llrd.enabled:
-        chain.append(scale_by_tree(llrd_scale_tree(params, 1.0, t.llrd.head_lr_mult)))
+    # the reference ALWAYS builds LLRD groups with the head at 10× base LR
+    # and only sets decay_rate=1.0 when LLRD is "disabled"
+    # (reference train.py:255-262, model.py:264-268) — mirror that here
+    decay_rate = t.llrd.decay_rate if t.llrd.enabled else 1.0
+    chain.append(scale_by_tree(llrd_scale_tree(
+        params, decay_rate, t.llrd.head_lr_mult)))
     chain.append(optax.scale_by_schedule(lambda s: -schedule(s)))
 
     return optax.chain(*chain), schedule

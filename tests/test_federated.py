@@ -154,6 +154,36 @@ def test_fedavg_matches_single_device_semantics():
     assert abs(float(m8["loss"]) - float(m1["loss"])) < 1e-3
 
 
+def test_fedavg_eval_pipeline_and_learning():
+    """Regression for the round-1 eval bug: per-round eval must route inputs
+    through make_device_augment(train=False) (eval geometry + normalization),
+    matching what clients train on. With raw [0,1] inputs at eval time the
+    model sees a distribution it never trained on and accuracy pins near
+    chance (1/8); with the fix it climbs well above it. Also covers ragged
+    eval tails (padded to one static shape) and uint8 eval images."""
+    cfg = fed_cfg(num_clients=8, rounds=4)
+    model = build_model(cfg)
+    import jax.numpy as jnp
+    rng = jax.random.key(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 13)))
+    data = make_synthetic_dataset(n=296, image_size=32, seed=0, noise=0.15)
+    eval_data = {k: v[:40] for k, v in data.items()}      # 40 % 16 != 0
+    eval_data["image"] = (eval_data["image"] * 255).astype(np.uint8)
+    train_data = {k: v[40:] for k, v in data.items()}
+
+    result = train_federated(cfg, model, variables, train_data,
+                             eval_data=eval_data, mesh=client_mesh(),
+                             log_fn=lambda s: None, eval_batch_size=16)
+    assert len(result.history) == 4
+    for h in result.history:
+        for k in ("accuracy", "balanced_accuracy", "macro_f1"):
+            assert k in h and np.isfinite(h[k])
+    accs = [h["accuracy"] for h in result.history]
+    assert accs[-1] > 0.25, f"eval accuracy stuck near chance: {accs}"
+    assert max(accs) >= accs[0], f"accuracy never improved: {accs}"
+
+
 def test_partial_participation():
     """clients_per_round < num_clients: each round samples a client subset;
     the client-axis width stays static."""

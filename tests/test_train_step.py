@@ -75,6 +75,47 @@ def test_llrd_scale_structure(setup):
     assert float(flat[("metadata_branch", "fc1", "kernel")]) == 10.0
 
 
+def test_llrd_disabled_keeps_head_multiplier(setup):
+    """llrd.enabled=False must still give the head its 10x LR: the reference
+    always builds LLRD groups (head at 10x base LR) and only sets
+    decay_rate=1.0 when LLRD is off (reference train.py:255-262,
+    model.py:264-268)."""
+    cfg, model, variables = setup
+    cfg2 = tiny_cfg(training={"llrd": {"enabled": False},
+                              "scheduler": {"warmup_epochs": 0}})
+    tx, _ = build_optimizer(cfg2, variables["params"], steps_per_epoch=8)
+    params = jax.tree.map(jnp.zeros_like, variables["params"])
+    grads = jax.tree.map(jnp.ones_like, variables["params"])
+    updates, _ = tx.update(grads, tx.init(params), params)
+    flat = traverse_util.flatten_dict(updates)
+    head = float(jnp.abs(flat[("classifier", "fc1", "kernel")]).mean())
+    b0 = float(jnp.abs(flat[("backbone", "blocks_0", "attn", "qkv",
+                             "kernel")]).mean())
+    b11 = float(jnp.abs(flat[("backbone", "blocks_11", "attn", "qkv",
+                              "kernel")]).mean())
+    assert np.isclose(b0, b11, rtol=1e-5)      # decay_rate 1.0: flat backbone
+    assert np.isclose(head / b0, 10.0, rtol=1e-4)
+
+
+def test_llrd_patch_norm_lowest_scale():
+    """Swin's patch_norm (the patch-embed LayerNorm, a sibling of patch_embed
+    in our tree) takes the lowest LLRD scale like the reference, where it
+    lives inside backbone.patch_embed (reference model.py:249-252)."""
+    params = {"backbone": {
+        "patch_embed": {"kernel": jnp.ones(1)},
+        "patch_norm": {"scale": jnp.ones(1)},
+        "layers_0": {"w": jnp.ones(1)},
+        "layers_1": {"w": jnp.ones(1)},
+        "norm": {"scale": jnp.ones(1)},
+    }, "classifier": {"kernel": jnp.ones(1)}}
+    flat = traverse_util.flatten_dict(llrd_scale_tree(params, 0.75, 10.0))
+    assert np.isclose(float(flat[("backbone", "patch_norm", "scale")]),
+                      0.75 ** 3)
+    assert np.isclose(float(flat[("backbone", "patch_embed", "kernel")]),
+                      0.75 ** 3)
+    assert float(flat[("backbone", "norm", "scale")]) == 1.0
+
+
 def test_head_only_mask(setup):
     cfg, model, variables = setup
     mask = traverse_util.flatten_dict(head_only_mask(variables["params"]))
