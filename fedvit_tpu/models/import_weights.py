@@ -105,3 +105,53 @@ def import_torch_vit(state_dict: Dict[str, Any], params: Any,
     put(("norm", "scale"), sd["norm.weight"])
     put(("norm", "bias"), sd["norm.bias"])
     return traverse_util.unflatten_dict(flat)
+
+
+def import_torch_isic(state_dict: Dict[str, Any], variables: Dict[str, Any],
+                      depth: int) -> Dict[str, Any]:
+    """Map a full reference ISICClassifier state dict (model.py:67-207) onto
+    our ISICClassifier variables: ViT backbone + MetadataBranch
+    (Linear→BN→GELU→Drop→Linear→BN→GELU, model.py:48-56) + classifier MLP
+    (model.py:139-145). Returns {"params", "batch_stats"} ready for apply."""
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+
+    bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
+             if k.startswith("backbone.")}
+    params = dict(variables["params"])
+    params["backbone"] = import_torch_vit(bb_sd, params["backbone"], depth)
+
+    flat = dict(traverse_util.flatten_dict(params))
+    stats = dict(traverse_util.flatten_dict(variables.get("batch_stats", {})))
+
+    def put(tree, path, value):
+        assert path in tree, f"target missing: {path}"
+        assert tree[path].shape == value.shape, (
+            f"{path}: {tree[path].shape} vs {value.shape}")
+        tree[path] = jnp.asarray(value)
+
+    # metadata branch: torch Sequential indices 0/1/4/5 → fc1/bn1/fc2/bn2
+    if any(k.startswith("metadata_branch.") for k in sd):
+        for t_idx, ours in (("0", "fc1"), ("4", "fc2")):
+            put(flat, ("metadata_branch", ours, "kernel"),
+                sd[f"metadata_branch.net.{t_idx}.weight"].T)
+            put(flat, ("metadata_branch", ours, "bias"),
+                sd[f"metadata_branch.net.{t_idx}.bias"])
+        for t_idx, ours in (("1", "bn1"), ("5", "bn2")):
+            put(flat, ("metadata_branch", ours, "scale"),
+                sd[f"metadata_branch.net.{t_idx}.weight"])
+            put(flat, ("metadata_branch", ours, "bias"),
+                sd[f"metadata_branch.net.{t_idx}.bias"])
+            put(stats, ("metadata_branch", ours, "mean"),
+                sd[f"metadata_branch.net.{t_idx}.running_mean"])
+            put(stats, ("metadata_branch", ours, "var"),
+                sd[f"metadata_branch.net.{t_idx}.running_var"])
+
+    # classifier: torch Sequential indices 0/3 → fc1/fc2
+    for t_idx, ours in (("0", "fc1"), ("3", "fc2")):
+        put(flat, ("classifier", ours, "kernel"),
+            sd[f"classifier.{t_idx}.weight"].T)
+        put(flat, ("classifier", ours, "bias"),
+            sd[f"classifier.{t_idx}.bias"])
+
+    return {"params": traverse_util.unflatten_dict(flat),
+            "batch_stats": traverse_util.unflatten_dict(stats)}

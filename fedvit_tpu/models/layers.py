@@ -39,6 +39,46 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm over the leading axis with torch's running-stat convention.
+
+    flax's nn.BatchNorm accumulates the BIASED batch variance into
+    `batch_stats`; torch's BatchNorm1d accumulates the UNBIASED (n/(n−1))
+    variance (normalization itself uses the biased variance in both). The
+    reference MetadataBranch uses torch BN (reference model.py:48-56), so
+    eval-after-training parity requires torch's convention. Param/collection
+    layout matches nn.BatchNorm ({scale, bias} / {mean, var}).
+    """
+    momentum: float = 0.1          # torch convention: new = (1−m)·old + m·batch
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: bool = True) -> jnp.ndarray:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((d,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((d,), jnp.float32))
+        x32 = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = x.shape[0]
+            mean = x32.mean(axis=0)
+            var = ((x32 - mean) ** 2).mean(axis=0)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class Mlp(nn.Module):
     """Transformer MLP block: Dense → GELU → Drop → Dense → Drop."""
     hidden_dim: int

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fedvit_tpu.data.constants import NUM_SEX, NUM_SITE
+from fedvit_tpu.models.layers import TorchBatchNorm
 
 
 class MetadataBranch(nn.Module):
@@ -28,13 +29,13 @@ class MetadataBranch(nn.Module):
         """x: (B, input_dim) → (B, output_dim)."""
         x = x.astype(self.dtype)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+        x = TorchBatchNorm(dtype=jnp.float32, name="bn1")(
+            x, use_running_average=deterministic)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn2")(x)
+        x = TorchBatchNorm(dtype=jnp.float32, name="bn2")(
+            x, use_running_average=deterministic)
         x = nn.gelu(x, approximate=False)
         return x.astype(jnp.float32)
 
