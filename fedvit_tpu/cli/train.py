@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--resume", action="store_true",
                         help="Resume folds from their latest checkpoint")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace of the run into "
+                             "DIR (view with TensorBoard/xprof)")
     args = parser.parse_args(argv)
 
     from fedvit_tpu.utils.jaxcache import enable_compilation_cache
@@ -56,7 +59,8 @@ def main(argv=None) -> int:
     from fedvit_tpu.data.pipeline import HostDataSource
     from fedvit_tpu.data.splits import make_cv_splits
     from fedvit_tpu.eval.metrics import classification_report
-    from fedvit_tpu.train.loop import ensemble_folds, train_fold
+    from fedvit_tpu.train.loop import (aggregate_fold_metrics, ensemble_folds,
+                                       train_fold)
 
     cfg = load_config(args.config).replace(seed=args.seed)
     logger = setup_logging(args.log)
@@ -77,6 +81,16 @@ def main(argv=None) -> int:
     log(f"  [Config] physical_bs={t.batch_size}, "
         f"accum={t.gradient_accumulation_steps}, effective_bs={eff_bs}")
 
+    # auto batch-size probe (reference train.py:411-418: probe, then
+    # override training.batch_size with the result)
+    if t.auto_batch_size:
+        import dataclasses
+        from fedvit_tpu.train.probe import auto_batch_size
+        bs = auto_batch_size(cfg, log=log)
+        cfg = cfg.replace(training=dataclasses.replace(cfg.training,
+                                                       batch_size=bs))
+        t = cfg.training
+
     labels = train_full_df["label"].values
     groups = (train_full_df["lesion_id"].values
               if "lesion_id" in train_full_df.columns
@@ -88,17 +102,26 @@ def main(argv=None) -> int:
 
     fold_list = list(range(n_folds)) if args.fold < 0 else [args.fold]
     all_logits = []
-    for f in fold_list:
-        trn_idx, val_idx = splits[f]
-        trn_src = HostDataSource(train_full_df.iloc[trn_idx], cfg)
-        val_src = HostDataSource(train_full_df.iloc[val_idx], cfg)
-        fold_log = setup_logging(os.path.join(args.log, f"fold{f}"), fold=f)
-        logits = train_fold(cfg, f, trn_src, val_src, test_source,
-                            workdir=os.path.join(args.log, f"fold{f}"),
-                            log=fold_log.info, resume=args.resume)
-        all_logits.append(logits)
+    import contextlib
+    from fedvit_tpu.utils.profiling import trace
+    profile_cm = trace(args.profile) if args.profile else contextlib.nullcontext()
+    with profile_cm:
+        for f in fold_list:
+            trn_idx, val_idx = splits[f]
+            trn_src = HostDataSource(train_full_df.iloc[trn_idx], cfg)
+            val_src = HostDataSource(train_full_df.iloc[val_idx], cfg)
+            fold_log = setup_logging(os.path.join(args.log, f"fold{f}"), fold=f)
+            logits = train_fold(cfg, f, trn_src, val_src, test_source,
+                                workdir=os.path.join(args.log, f"fold{f}"),
+                                log=fold_log.info, resume=args.resume)
+            all_logits.append(logits)
+    if args.profile:
+        log(f"  Profiler trace written → {args.profile}")
 
     has_gt = has_real_test_labels(test_df)
+    if test_source is not None and has_gt:
+        aggregate_fold_metrics(all_logits, test_df["label"].values,
+                               cfg.num_classes, log)
     ens = (ensemble_folds(all_logits, test_df["label"].values,
                           cfg.num_classes, log, compute=has_gt)
            if test_source is not None else {})

@@ -115,6 +115,10 @@ class EarlyStoppingConfig:
 class TTAConfig:
     enabled: bool = True
     n: int = 8
+    # non-empty → old-gen named-view TTA (corner crops etc.,
+    # reference data_old.py:208-304) instead of the 8 deterministic views;
+    # names: original, hflip, vflip, crop_tl, crop_br, crop_center
+    views: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

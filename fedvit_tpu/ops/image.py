@@ -319,7 +319,13 @@ def _bshape(factor: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
 def color_jitter(key: jax.Array, img: jnp.ndarray,
                  brightness: float = 0.2, contrast: float = 0.2,
                  saturation: float = 0.2, hue: float = 0.0) -> jnp.ndarray:
-    """torchvision ColorJitter: per-batch-element factors, random op order.
+    """torchvision ColorJitter: per-sample factors AND per-sample op order.
+
+    The reference applies ColorJitter per item inside DataLoader workers, so
+    every sample draws its own op permutation (torchvision samples a new
+    order each __call__). Each of the n ordering steps computes all n
+    candidate ops and selects per sample — n² cheap elementwise passes keep
+    the whole thing one fused XLA program (no gathers).
 
     Reference config: brightness/contrast/saturation 0.2, hue 0
     (config.yaml:113-117)."""
@@ -342,20 +348,19 @@ def color_jitter(key: jax.Array, img: jnp.ndarray,
            lambda x: adjust_saturation(x, fs)]
     if hue > 0:
         ops.append(lambda x: adjust_hue(x, fh))
+    n = len(ops)
 
-    # random order: one permutation per batch (torchvision permutes per call)
-    import itertools
-    perms = list(itertools.permutations(range(len(ops))))
-    perm_idx = jax.random.randint(k_o, (), 0, len(perms))
+    # (b, n) independent random orders — one permutation per sample
+    order = jnp.argsort(jax.random.uniform(k_o, (b, n)), axis=-1)
 
-    def apply_perm(p):
-        def f(x):
-            for op_i in p:
-                x = ops[op_i](x)
-            return x
-        return f
-
-    return jax.lax.switch(perm_idx, [apply_perm(p) for p in perms], img)
+    sel_shape = (-1,) + (1,) * (img.ndim - 1)
+    for step in range(n):
+        which = order[:, step].reshape(sel_shape)
+        out = img
+        for i, op in enumerate(ops):
+            out = jnp.where(which == i, op(img), out)
+        img = out
+    return img
 
 
 # ---------------------------------------------------------------------------

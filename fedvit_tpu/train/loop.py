@@ -110,13 +110,23 @@ def evaluate_with_tta(cfg: Config, model, params, batch_stats, source,
     use_mask = cfg.data.use_segmentation_mask
     bs = batch_size or max(1, cfg.training.batch_size // 4)
     use_meta = cfg.model.metadata.enabled
+    named_views = tuple(cfg.training.tta.views)
+    if named_views and use_mask:
+        raise ValueError(
+            "tta.views (old-gen corner-crop TTA, data_old.py:208-304) is a "
+            "3-channel pipeline — the old generation feeds masks to the "
+            "segmentation branch, not as a 4th input channel")
 
     @jax.jit
     def tta_step(params, batch_stats, raw, metadata):
         img = I.to_float(raw[..., :3])
-        mask = I.to_float(raw[..., 3:4]) if (use_mask and raw.shape[-1] == 4) \
-            else None
-        views, mviews = I.tta_views(img, mask, out_size=size)   # (B,8,S,S,C)
+        if named_views:
+            views = I.tta_views_named(img, named_views, out_size=size)
+            mviews = None
+        else:
+            mask = I.to_float(raw[..., 3:4]) \
+                if (use_mask and raw.shape[-1] == 4) else None
+            views, mviews = I.tta_views(img, mask, out_size=size)  # (B,8,S,S,C)
         if mviews is not None:
             views = jnp.concatenate([views, mviews], axis=-1)
         b, t = views.shape[0], views.shape[1]
@@ -288,6 +298,12 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
     log(f"  Fold {fold} Test — acc: {m['accuracy']:.4f} | "
         f"bal_acc: {m['balanced_accuracy']:.4f} | "
         f"macro_f1: {m['macro_f1']:.4f}")
+    # per-fold classification report + confusion matrix (reference
+    # train.py:365-366 prints both at every fold's test eval)
+    from fedvit_tpu.eval.metrics import classification_report
+    log("\n" + classification_report(np.asarray(labels), np.asarray(preds),
+                                     list(cfg.class_names)))
+    log(f"  Confusion Matrix:\n{m['confusion_matrix']}")
     return logits
 
 
@@ -320,7 +336,9 @@ def run_experiment(cfg: Config, sources_per_fold, test_source=None,
                    workdir: Optional[str] = None, fold: int = -1,
                    log: Callable[[str], None] = print) -> Dict:
     """K-fold driver + fold-averaged logit ensemble (reference main,
-    train.py:437-472). sources_per_fold: list of (train_source, val_source)."""
+    train.py:437-472) + per-fold aggregate mean±std (old-gen train_kfold,
+    train_old.py:685-759). sources_per_fold: list of (train_source,
+    val_source)."""
     fold_list = (list(range(len(sources_per_fold))) if fold < 0 else [fold])
     all_logits = []
     for f in fold_list:
@@ -330,6 +348,27 @@ def run_experiment(cfg: Config, sources_per_fold, test_source=None,
 
     result: Dict = {"fold_logits": all_logits}
     if test_source is not None and len(test_source) > 0:
+        result.update(aggregate_fold_metrics(all_logits, test_source.labels,
+                                             cfg.num_classes, log))
         result.update(ensemble_folds(all_logits, test_source.labels,
                                      cfg.num_classes, log))
     return result
+
+
+def aggregate_fold_metrics(fold_logits, test_labels, num_classes: int,
+                           log: Callable[[str], None] = print) -> Dict:
+    """Per-fold test metrics + mean±std aggregate (old-gen train_kfold,
+    reference train_old.py:685-759)."""
+    labels = np.asarray(test_labels)
+    fold_metrics = [compute_metrics(labels, np.asarray(lg).argmax(-1),
+                                    num_classes)
+                    for lg in fold_logits if len(lg) > 0]
+    if not fold_metrics:
+        return {}
+    agg = {k: (float(np.mean([m[k] for m in fold_metrics])),
+               float(np.std([m[k] for m in fold_metrics])))
+           for k in ("accuracy", "balanced_accuracy", "macro_f1")}
+    log("\n  K-FOLD AGGREGATE (mean ± std over folds)")
+    for k, (mu, sd) in agg.items():
+        log(f"    {k:>18s}: {mu:.4f} ± {sd:.4f}")
+    return {"fold_metrics": fold_metrics, "aggregate": agg}

@@ -92,6 +92,47 @@ def test_run_experiment_ensemble(tmp_path, sources):
     assert "ensemble_metrics" in res
 
 
+def test_named_views_tta(tmp_path, sources):
+    """Old-gen corner-crop TTA (reference data_old.py:208-304) reachable via
+    training.tta.views; logits differ from the default 8-view TTA."""
+    train, val, test = sources
+    import jax
+    from fedvit_tpu.train.loop import evaluate_with_tta, init_model_state, \
+        optax_identity
+    cfg = loop_cfg(tmp_path, epochs=1)
+    model, state = init_model_state(cfg, optax_identity(), 0)
+    named_cfg = loop_cfg(
+        tmp_path, epochs=1,
+        training={"tta": {"enabled": True,
+                          "views": ["original", "hflip", "crop_tl",
+                                    "crop_br", "crop_center"]}})
+    p, l, logits_named = evaluate_with_tta(
+        named_cfg, model, state.params, state.batch_stats, test)
+    assert np.asarray(logits_named).shape == (33, 8)
+    _, _, logits_default = evaluate_with_tta(
+        cfg, model, state.params, state.batch_stats, test)
+    assert not np.allclose(logits_named, logits_default)
+    assert len(p) == len(l) == 33
+
+
+def test_run_experiment_fold_aggregate(tmp_path, sources):
+    """Per-fold mean±std aggregate (old-gen train_kfold, train_old.py:699-759)."""
+    train, val, test = sources
+    cfg = loop_cfg(tmp_path, epochs=1, training={"tta": {"enabled": False}})
+    logs = []
+    res = run_experiment(cfg, [(train, val), (train, val)], test,
+                         workdir=None, log=logs.append)
+    assert len(res["fold_metrics"]) == 2
+    for k in ("accuracy", "balanced_accuracy", "macro_f1"):
+        mu, sd = res["aggregate"][k]
+        assert 0.0 <= mu <= 1.0 and sd >= 0.0
+    text = "\n".join(logs)
+    assert "K-FOLD AGGREGATE" in text
+    # per-fold classification report + CM (reference train.py:365-366)
+    assert "Confusion Matrix" in text
+    assert "precision" in text
+
+
 def test_early_stopping(tmp_path, sources):
     train, val, _ = sources
     cfg = loop_cfg(tmp_path, epochs=30,

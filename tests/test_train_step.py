@@ -75,6 +75,16 @@ def test_llrd_scale_structure(setup):
     assert float(flat[("metadata_branch", "fc1", "kernel")]) == 10.0
 
 
+def test_auto_batch_size_probe(setup):
+    """The probe (reference utils.py:325-350) runs forwards at growing sizes
+    and returns the largest that fits; on CPU everything fits → limit."""
+    cfg, model, variables = setup
+    from fedvit_tpu.train.probe import auto_batch_size
+    bs = auto_batch_size(cfg, model=model, variables=variables,
+                         start=4, step=4, limit=12, log=lambda s: None)
+    assert bs == 12
+
+
 def test_llrd_disabled_keeps_head_multiplier(setup):
     """llrd.enabled=False must still give the head its 10x LR: the reference
     always builds LLRD groups (head at 10x base LR) and only sets
