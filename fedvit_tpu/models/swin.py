@@ -16,9 +16,11 @@ SwinV2 specifics implemented (Liu et al. 2022, timm semantics):
 
 Layout: tokens kept as (B, H, W, C) between blocks (NHWC, XLA-native);
 window partition is a reshape/transpose, so every attention call is one
-batched (B·nW, w², heads, d) attention. Swin stays on the XLA attention path
-(the trainable relative-position bias needs a differentiable bias term; see
-ops/flash_attention.py docstring).
+batched (B·nW, w², heads, d) attention. On TPU that call is the fused Pallas
+biased-attention kernel (ops/flash_attention.flash_attention_bias): the
+rel-pos bias + shift mask enter as one per-(window, head) bias whose gradient
+is accumulated in-kernel, and the learned cosine scale is folded into q so
+its gradient flows through XLA.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ import numpy as np
 from flax import linen as nn
 
 from fedvit_tpu.models.layers import DropPath, Mlp, trunc_normal_init
+from fedvit_tpu.ops.attention import dot_product_attention
 
 
 # ---------------------------------------------------------------------------
@@ -142,9 +145,6 @@ class WindowAttentionV2(nn.Module):
             (h, 1, 1))
         scale = jnp.exp(jnp.clip(logit_scale, max=float(np.log(100.0))))
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", qn.astype(jnp.float32),
-                          kn.astype(jnp.float32)) * scale[None]
-
         # continuous relative position bias
         table = relative_coords_table(self.window, self.pretrained_window)
         idx = relative_position_index(self.window)
@@ -155,16 +155,18 @@ class WindowAttentionV2(nn.Module):
                        name="cpb_fc2")(cpb)                  # (1,2w-1,2w-1,H)
         cpb = cpb.reshape(-1, h)[idx.reshape(-1)]            # (w⁴, H)
         bias = 16.0 * jax.nn.sigmoid(cpb).reshape(n, n, h).transpose(2, 0, 1)
-        attn = attn + bias[None]
 
+        # fold the shift mask into a per-(window, head) bias and the learned
+        # cosine scale into q, so one fused attention op (Pallas on TPU,
+        # differentiable bias + dScale via the q chain) does the rest
         if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bnw // nw, nw, h, n, n)
-            attn = attn + jnp.asarray(mask)[None, :, None]
-            attn = attn.reshape(bnw, h, n, n)
-
-        p = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", p, v)
+            combined = bias[None] + jnp.asarray(mask)[:, None]  # (nW, H, n, n)
+        else:
+            combined = bias[None]                               # (1, H, n, n)
+        q_scaled = (qn * scale.reshape(1, 1, h, 1)).astype(v.dtype)
+        out = dot_product_attention(q_scaled, kn.astype(v.dtype), v,
+                                    bias=combined, impl=self.attention_impl,
+                                    scale=1.0)
         out = out.reshape(bnw, n, c)
         return nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
                         name="proj")(out)
@@ -202,12 +204,12 @@ class SwinBlockV2(nn.Module):
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         # post-norm (v2)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
 
         y = Mlp(int(c * self.mlp_ratio), dropout=0.0, dtype=self.dtype,
                 name="mlp")(x, deterministic)
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x
 
@@ -222,7 +224,7 @@ class PatchMergingV2(nn.Module):
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
         x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                      kernel_init=trunc_normal_init, name="reduction")(x)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
 
 
 class SwinStage(nn.Module):
@@ -293,7 +295,7 @@ class SwinTransformerV2(nn.Module):
         x = nn.Dense(self.embed_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init,
                      name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x)
 
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(1, total - 1)
@@ -314,7 +316,7 @@ class SwinTransformerV2(nn.Module):
                 name=f"layers_{s}")(x, deterministic)
             di += depth
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
         feats = x.reshape(b, -1, x.shape[-1]).mean(axis=1)  # global avg pool
         return feats.astype(jnp.float32)
 

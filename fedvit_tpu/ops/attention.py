@@ -25,21 +25,32 @@ def _on_tpu() -> bool:
 
 
 def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                  bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Reference XLA attention: softmax(q·kᵀ/√d [+ bias])·v.
+                  bias: Optional[jnp.ndarray] = None,
+                  scale: Optional[float] = None) -> jnp.ndarray:
+    """Reference XLA attention: softmax(q·kᵀ·scale [+ bias])·v.
 
-    bias: optional (H, N, N) or (B, H, N, N) additive bias (e.g. Swin relative
-    position bias).
+    bias: optional additive bias —
+      (H, N, N): per-head, broadcast over the batch
+      (W0, H, N, N) with B % W0 == 0: per-(window, head); the window index
+        of batch element b is b % W0 (Swin's (B·nW) window batching; a
+        (B, H, N, N) per-sample bias is the W0 == B special case).
+    scale: score scale; default 1/√d (pass 1.0 when folded into q).
     """
     orig_dtype = q.dtype
-    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    if scale is None:
+        scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
     # (B, H, N, N) — contract head dims in fp32 accumulation
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         if bias.ndim == 3:
-            bias = bias[None]
-        logits = logits + bias.astype(jnp.float32)
+            logits = logits + bias[None].astype(jnp.float32)
+        else:
+            b = q.shape[0]
+            w0 = bias.shape[0]
+            shaped = logits.reshape((b // w0, w0) + logits.shape[1:])
+            logits = (shaped + bias[None].astype(jnp.float32)
+                      ).reshape(logits.shape)
     weights = jax.nn.softmax(logits, axis=-1).astype(orig_dtype)
     out = jnp.einsum("bhnm,bmhd->bnhd", weights, v,
                      preferred_element_type=jnp.float32)
@@ -48,16 +59,27 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: Optional[jnp.ndarray] = None,
-                          impl: str = "auto") -> jnp.ndarray:
+                          impl: str = "auto",
+                          scale: Optional[float] = None) -> jnp.ndarray:
     """Dispatch to the fused Pallas kernel on TPU or the XLA path.
 
     impl: "auto" (pallas iff on TPU), "pallas", or "xla".
+    bias (see xla_attention) is differentiable on both paths; for the Pallas
+    path any non-default scale must already be folded into q (scale=1.0).
     """
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
-    if impl == "pallas" and bias is None:
-        from fedvit_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v)
-    # biased attention (Swin relative-position bias) uses the XLA path so
-    # the bias table stays differentiable (see flash_attention docstring)
-    return xla_attention(q, k, v, bias=bias)
+    if impl == "pallas":
+        if bias is None:
+            from fedvit_tpu.ops.flash_attention import flash_attention
+            return flash_attention(q, k, v)
+        from fedvit_tpu.ops.flash_attention import flash_attention_bias
+        if scale is None:
+            q = q * (1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+                     ).astype(q.dtype)
+        else:
+            assert scale == 1.0, "fold non-default scales into q for pallas"
+        if bias.ndim == 3:
+            bias = bias[None]
+        return flash_attention_bias(q, k, v, bias)
+    return xla_attention(q, k, v, bias=bias, scale=scale)

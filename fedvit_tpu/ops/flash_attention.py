@@ -15,13 +15,18 @@ The backward recomputes the score tile and its row statistics from q, k —
 no attention residuals are persisted at all (the memory cost of the op is
 exactly its q/k/v/o tensors) — and emits dQ, dK, dV in one kernel.
 
-Biased attention (Swin relative-position bias) currently routes through the
-XLA path (ops/attention.py) so the bias table stays differentiable; a
-bias-accumulating Pallas backward is a planned optimization.
+Biased attention (`flash_attention_bias`) covers Swin's relative-position
+bias + shift mask: scores = q·kᵀ + bias with bias differentiable — the
+backward ACCUMULATES dBias across the batch grid dimension inside the kernel
+(the bias block is revisited across consecutive grid steps, so the partial
+sum lives in VMEM). Any score scale (1/√d, or SwinV2's learned cosine scale)
+is folded into q by the caller, so scale gradients flow through XLA outside
+the kernel.
 
 Layout contract (matching ops/attention.py): q, k, v are (B, N, H, D).
-Sequence is padded to a multiple of 128 lanes; (batch·head) is padded to a
-multiple of the group size; padded keys are masked with -inf.
+Sequence is padded to a multiple of 128 lanes (keys) / the sublane tile
+(queries); (batch·head) is padded to a multiple of the group size; padded
+keys are masked with -inf.
 """
 
 from __future__ import annotations
@@ -78,8 +83,10 @@ _BATCHED_PTDO = (((1,), (1,)), ((0,), (0,)))  # (G,N,M)ᵀ·(G,N,D) → (G,M,D)
 
 
 def _scores(q_ref, k_ref, scale, n_real):
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
+    # dots stay in the input dtype (bf16 under training) with fp32
+    # accumulation — fp32 MXU passes are ~8× slower for no accuracy need
+    q = q_ref[:]
+    k = k_ref[:]
     g, n_pad, _ = q.shape
     s = jax.lax.dot_general(q, k, _BATCHED_QKT,
                             preferred_element_type=jnp.float32) * scale
@@ -104,17 +111,17 @@ def _bwd_kernel(n_real, scale, q_ref, k_ref, v_ref, do_ref,
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
 
-    v = v_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
-    dv = jax.lax.dot_general(p, do, _BATCHED_PTDO,
+    do = do_ref[:]
+    p_lp = p.astype(do.dtype)
+    dv = jax.lax.dot_general(p_lp, do, _BATCHED_PTDO,
                              preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, _BATCHED_QKT,
+    dp = jax.lax.dot_general(do, v_ref[:], _BATCHED_QKT,
                              preferred_element_type=jnp.float32)
     row = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - row)
-    dq = jax.lax.dot_general(ds, k_ref[:].astype(jnp.float32), _BATCHED_PV,
+    ds = (p * (dp - row)).astype(do.dtype)
+    dq = jax.lax.dot_general(ds, k_ref[:], _BATCHED_PV,
                              preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q_ref[:].astype(jnp.float32), _BATCHED_PTDO,
+    dk = jax.lax.dot_general(ds, q_ref[:], _BATCHED_PTDO,
                              preferred_element_type=jnp.float32) * scale
 
     dq_ref[:] = dq.astype(dq_ref.dtype)
@@ -197,3 +204,188 @@ def _bwd_rule(interpret, res, grad_out):
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Biased attention (Swin): scores = q·kᵀ + bias, bias differentiable
+# ---------------------------------------------------------------------------
+#
+# q, k, v: (B, N, H, D) with B = B_outer·nW (batch × windows, window minor).
+# bias: (W0, H, N, N) fp32 — per-(window, head) additive bias (rel-pos bias
+# + shift mask); window index of batch element b is b % W0. The kernel
+# reorganizes to (W = W0·H, B_outer, N, D) and runs a 2-D grid
+# (W, B_outer/G): for a fixed bias block the batch tiles iterate fastest,
+# so dBias accumulates in the revisited VMEM output block.
+
+def _bias_group_size(r_pad: int, c_pad: int, d_pad: int, itemsize: int) -> int:
+    """Batch-group size under a ~9 MB VMEM budget (s and p tiles dominate)."""
+    per_g = r_pad * c_pad * 4 * 2 + 4 * (r_pad + c_pad) * d_pad * itemsize
+    fixed = 2 * r_pad * c_pad * 4  # bias in + dbias out
+    budget = 9 * 1024 * 1024
+    return int(max(1, min(8, (budget - fixed) // per_g)))
+
+
+def _window_layout(t: jnp.ndarray, w0: int, n_pad: int, d_pad: int,
+                   gb: int) -> jnp.ndarray:
+    """(B_outer·W0, N, H, D) → (W0·H, B_outer_pad, N_pad, D_pad)."""
+    b, n, h, d = t.shape
+    bo = b // w0
+    x = t.reshape(bo, w0, n, h, d).transpose(1, 3, 0, 2, 4)
+    x = x.reshape(w0 * h, bo, n, d)
+    x = _pad_axis(_pad_axis(x, n_pad, 2), d_pad, 3)
+    return _pad_axis(x, _round_up(bo, gb), 1)
+
+
+def _window_unlayout(x: jnp.ndarray, b: int, n: int, h: int, d: int,
+                     w0: int) -> jnp.ndarray:
+    """(W0·H, B_outer_pad, N_pad, D_pad) → (B, N, H, D)."""
+    bo = b // w0
+    x = x[:, :bo, :n, :d].reshape(w0, h, bo, n, d)
+    return x.transpose(2, 0, 3, 1, 4).reshape(b, n, h, d)
+
+
+def _bias_probs(q_ref, k_ref, b_ref, n_real):
+    s = jax.lax.dot_general(q_ref[0], k_ref[0], _BATCHED_QKT,
+                            preferred_element_type=jnp.float32)
+    s = s + b_ref[0][None].astype(jnp.float32)
+    g, r, c = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, r, c), 2)
+    s = jnp.where(col < n_real, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _bias_fwd_kernel(n_real, q_ref, k_ref, v_ref, b_ref, o_ref):
+    p = _bias_probs(q_ref, k_ref, b_ref, n_real)
+    o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0], _BATCHED_PV,
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _bias_bwd_kernel(n_real, q_ref, k_ref, v_ref, b_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, db_ref):
+    p = _bias_probs(q_ref, k_ref, b_ref, n_real)
+    do = do_ref[0]
+    p_lp = p.astype(do.dtype)
+    dv = jax.lax.dot_general(p_lp, do, _BATCHED_PTDO,
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v_ref[0], _BATCHED_QKT,
+                             preferred_element_type=jnp.float32)
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - row)                       # fp32 (G, R, C)
+    ds_lp = ds.astype(q_ref.dtype)
+    dq = jax.lax.dot_general(ds_lp, k_ref[0], _BATCHED_PV,
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds_lp, q_ref[0], _BATCHED_PTDO,
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    dsum = jnp.sum(ds, axis=0)                # (R, C)
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        db_ref[0] = dsum
+
+    @pl.when(bi > 0)
+    def _():
+        db_ref[0] = db_ref[0] + dsum
+
+
+def _bias_specs(gb: int, r_pad: int, c_pad: int, d_pad: int):
+    q_spec = pl.BlockSpec((1, gb, r_pad, d_pad), lambda w, i: (w, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, gb, c_pad, d_pad), lambda w, i: (w, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, r_pad, c_pad), lambda w, i: (w, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return q_spec, kv_spec, b_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention_bias(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         bias: jnp.ndarray,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused biased attention: softmax(q·kᵀ + bias)·v, bias differentiable.
+
+    q, k, v: (B, N, H, D); bias: (W0, H, N, N) with B % W0 == 0 (window
+    index = b % W0; W0 == 1 broadcasts one bias over the batch). The caller
+    folds any score scale into q."""
+    out, _ = _bias_fwd_rule(q, k, v, bias, interpret)
+    return out
+
+
+def _bias_dims(q, bias):
+    b, n, h, d = q.shape
+    w0 = bias.shape[0]
+    assert b % w0 == 0, f"batch {b} not divisible by bias windows {w0}"
+    assert bias.shape[1] == h and bias.shape[2] == n and bias.shape[3] == n
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    r_pad = _round_up(n, sublane)
+    c_pad = _round_up(n)
+    d_pad = _round_up(d, 64)
+    gb = _bias_group_size(r_pad, c_pad, d_pad, q.dtype.itemsize)
+    bo_pad = _round_up(b // w0, gb)
+    return b, n, h, d, w0, r_pad, c_pad, d_pad, gb, bo_pad
+
+
+def _pad_bias(bias, w0, h, r_pad, c_pad):
+    x = bias.astype(jnp.float32).reshape(w0 * h, bias.shape[2], bias.shape[3])
+    return _pad_axis(_pad_axis(x, r_pad, 1), c_pad, 2)
+
+
+def _bias_fwd_rule(q, k, v, bias, interpret):
+    b, n, h, d, w0, r_pad, c_pad, d_pad, gb, bo_pad = _bias_dims(q, bias)
+    qt = _window_layout(q, w0, r_pad, d_pad, gb)
+    kt = _window_layout(k, w0, c_pad, d_pad, gb)
+    vt = _window_layout(v, w0, c_pad, d_pad, gb)
+    bt = _pad_bias(bias, w0, h, r_pad, c_pad)
+
+    q_spec, kv_spec, b_spec = _bias_specs(gb, r_pad, c_pad, d_pad)
+    out = pl.pallas_call(
+        functools.partial(_bias_fwd_kernel, n),
+        grid=(w0 * h, bo_pad // gb),
+        in_specs=[q_spec, kv_spec, kv_spec, b_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((w0 * h, bo_pad, r_pad, d_pad),
+                                       q.dtype),
+        interpret=_interpret_flag(interpret),
+    )(qt, kt, vt, bt)
+    return _window_unlayout(out, b, n, h, d, w0), (q, k, v, bias)
+
+
+def _bias_bwd_rule(interpret, res, grad_out):
+    q, k, v, bias = res
+    b, n, h, d, w0, r_pad, c_pad, d_pad, gb, bo_pad = _bias_dims(q, bias)
+    qt = _window_layout(q, w0, r_pad, d_pad, gb)
+    kt = _window_layout(k, w0, c_pad, d_pad, gb)
+    vt = _window_layout(v, w0, c_pad, d_pad, gb)
+    gt = _window_layout(grad_out, w0, r_pad, d_pad, gb)
+    bt = _pad_bias(bias, w0, h, r_pad, c_pad)
+
+    q_spec, kv_spec, b_spec = _bias_specs(gb, r_pad, c_pad, d_pad)
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_bias_bwd_kernel, n),
+        grid=(w0 * h, bo_pad // gb),
+        in_specs=[q_spec, kv_spec, kv_spec, b_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec, b_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((w0 * h, bo_pad, r_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((w0 * h, bo_pad, c_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((w0 * h, bo_pad, c_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((w0 * h, r_pad, c_pad), jnp.float32),
+        ],
+        interpret=_interpret_flag(interpret),
+    )(qt, kt, vt, bt, gt)
+
+    dbias = db[:, :n, :n].reshape(w0, h, n, n).astype(bias.dtype)
+    return (_window_unlayout(dq, b, n, h, d, w0),
+            _window_unlayout(dk, b, n, h, d, w0),
+            _window_unlayout(dv, b, n, h, d, w0),
+            dbias)
+
+
+flash_attention_bias.defvjp(_bias_fwd_rule, _bias_bwd_rule)

@@ -81,9 +81,101 @@ def test_bfloat16_inputs():
                                rtol=2e-2, atol=2e-2)
 
 
-def test_dispatch_uses_xla_for_bias():
+def test_dispatch_zero_bias_matches_unbiased():
     q, k, v = make_qkv(n=32, h=2, d=16)
     bias = jnp.zeros((2, 32, 32))
     out = dot_product_attention(q, k, v, bias=bias, impl="pallas")
     ref = xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Biased kernel (Swin rel-pos bias + shift mask path)
+# ---------------------------------------------------------------------------
+
+from fedvit_tpu.ops.flash_attention import flash_attention_bias
+
+
+def make_window_bias(w0, h, n, seed=7):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(w0, h, n, n)), jnp.float32)
+
+
+@pytest.mark.parametrize("n,w0", [(64, 1), (49, 4), (144, 2)])
+def test_bias_forward_matches_xla(n, w0):
+    b_outer, h, d = 3, 2, 16
+    q, k, v = make_qkv(b=b_outer * w0, n=n, h=h, d=d, seed=11)
+    bias = make_window_bias(w0, h, n)
+    scale = 1.0 / np.sqrt(d)
+    ref = xla_attention(q, k, v, bias=bias)
+    out = flash_attention_bias(q * scale, k, v, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bias_backward_matches_xla():
+    """dq, dk, dv AND dbias — the in-kernel dBias accumulation across the
+    batch grid dimension must match XLA's autodiff through the bias add."""
+    b_outer, w0, n, h, d = 5, 2, 49, 2, 16   # b_outer > group → >1 batch tile
+    q, k, v = make_qkv(b=b_outer * w0, n=n, h=h, d=d, seed=13)
+    bias = make_window_bias(w0, h, n, seed=17)
+    rng = np.random.default_rng(19)
+    ct = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+
+    _, vjp_pal = jax.vjp(
+        lambda q, k, v, b: flash_attention_bias(q * scale, k, v, b,
+                                                interpret=True), q, k, v, bias)
+    _, vjp_xla = jax.vjp(lambda q, k, v, b: xla_attention(q, k, v, bias=b),
+                         q, k, v, bias)
+    for a, b, name in zip(vjp_pal(ct), vjp_xla(ct), ["q", "k", "v", "bias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_bias_dispatch_pallas_vs_xla_grads():
+    """dot_product_attention(impl=pallas) with a window bias must match the
+    XLA path for values and all gradients (default 1/√d scale)."""
+    q, k, v = make_qkv(b=4, n=49, h=2, d=16, seed=23)
+    bias = make_window_bias(2, 2, 49, seed=29)
+
+    def run(impl):
+        def f(q, k, v, b):
+            return (dot_product_attention(q, k, v, bias=b, impl=impl)
+                    .astype(jnp.float32) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, bias)
+
+    for a, b, name in zip(run("pallas"), run("xla"), ["q", "k", "v", "bias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_swin_block_pallas_matches_xla():
+    """A real SwinV2 block (cosine attention, CPB bias, shifted windows)
+    must produce identical outputs and parameter grads on both paths."""
+    from fedvit_tpu.models.swin import SwinBlockV2
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)
+
+    def build(impl):
+        return SwinBlockV2(num_heads=2, window=8, shift=4, drop_path=0.0,
+                           attention_impl=impl)
+
+    params = build("xla").init({"params": jax.random.key(0)}, x)["params"]
+
+    def loss(params, impl):
+        out = build(impl).apply({"params": params}, x, True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    v_x, g_x = jax.value_and_grad(loss)(params, "xla")
+    v_p, g_p = jax.value_and_grad(loss)(params, "pallas")
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-5)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_p = jax.tree_util.tree_leaves_with_path(g_p)
+    for (path, a), (_, b) in zip(flat_p, flat_x):
+        # grads span 1e-4..1e3 here; scale atol to the leaf's magnitude
+        tol = 2e-4 * max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=tol,
+                                   err_msg=jax.tree_util.keystr(path))
