@@ -107,10 +107,87 @@ def import_torch_vit(state_dict: Dict[str, Any], params: Any,
     return traverse_util.unflatten_dict(flat)
 
 
+def import_torch_swin(state_dict: Dict[str, Any], params: Any,
+                      depths) -> Any:
+    """Map a timm SwinV2 state dict onto our SwinTransformerV2 params.
+
+    The reference's production checkpoint is SwinV2-L
+    (/root/reference/config.yaml:28, loaded via timm at model.py:112-117).
+    timm naming handled:
+      * patch_embed.proj (conv) + patch_embed.norm → patch_embed (pixel-major
+        Dense) + patch_norm
+      * layers.{s}.blocks.{b}: qkv (no bias) + q_bias/v_bias, logit_scale,
+        cpb_mlp.{0,2} → cpb_fc{1,2}, proj, norm1/2, mlp.fc1/2
+      * layers.{s}.downsample (timm puts PatchMerging at the START of stage s)
+        → our layers_{s-1}.downsample (merge at the END of stage s−1 — the
+        same network position), with the 2×2 pixel-chunk order permuted from
+        timm's (h_off, w_off) = [(0,0),(1,0),(0,1),(1,1)] to our row-major
+        [(0,0),(0,1),(1,0),(1,1)]
+      * final norm
+    """
+    flat = dict(traverse_util.flatten_dict(params))
+
+    def put(path, value):
+        assert path in flat, f"target missing: {path}"
+        assert flat[path].shape == value.shape, (
+            f"{path}: {flat[path].shape} vs {value.shape}")
+        flat[path] = jnp.asarray(value)
+
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+
+    w = sd["patch_embed.proj.weight"]          # (D, C, p, p)
+    d_out, c_in, p, _ = w.shape
+    put(("patch_embed", "kernel"),
+        w.transpose(2, 3, 1, 0).reshape(p * p * c_in, d_out))
+    put(("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+    put(("patch_norm", "scale"), sd["patch_embed.norm.weight"])
+    put(("patch_norm", "bias"), sd["patch_embed.norm.bias"])
+
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            tp = f"layers.{s}.blocks.{b}."
+            op = (f"layers_{s}", f"blocks_{b}")
+            a = op + ("attn",)
+            put(a + ("qkv", "kernel"), sd[tp + "attn.qkv.weight"].T)
+            put(a + ("q_bias",), sd[tp + "attn.q_bias"])
+            put(a + ("v_bias",), sd[tp + "attn.v_bias"])
+            put(a + ("logit_scale",), sd[tp + "attn.logit_scale"])
+            put(a + ("cpb_fc1", "kernel"), sd[tp + "attn.cpb_mlp.0.weight"].T)
+            put(a + ("cpb_fc1", "bias"), sd[tp + "attn.cpb_mlp.0.bias"])
+            put(a + ("cpb_fc2", "kernel"), sd[tp + "attn.cpb_mlp.2.weight"].T)
+            put(a + ("proj", "kernel"), sd[tp + "attn.proj.weight"].T)
+            put(a + ("proj", "bias"), sd[tp + "attn.proj.bias"])
+            for nrm in ("norm1", "norm2"):
+                put(op + (nrm, "scale"), sd[tp + nrm + ".weight"])
+                put(op + (nrm, "bias"), sd[tp + nrm + ".bias"])
+            put(op + ("mlp", "Dense_0", "kernel"), sd[tp + "mlp.fc1.weight"].T)
+            put(op + ("mlp", "Dense_0", "bias"), sd[tp + "mlp.fc1.bias"])
+            put(op + ("mlp", "Dense_1", "kernel"), sd[tp + "mlp.fc2.weight"].T)
+            put(op + ("mlp", "Dense_1", "bias"), sd[tp + "mlp.fc2.bias"])
+
+        tm = f"layers.{s + 1}.downsample."     # timm: start of NEXT stage
+        if tm + "reduction.weight" in sd:
+            red = sd[tm + "reduction.weight"].T        # (4C, 2C)
+            c4 = red.shape[0]
+            chunks = red.reshape(4, c4 // 4, red.shape[1])
+            red = chunks[[0, 2, 1, 3]].reshape(c4, red.shape[1])
+            put((f"layers_{s}", "downsample", "reduction", "kernel"), red)
+            put((f"layers_{s}", "downsample", "norm", "scale"),
+                sd[tm + "norm.weight"])
+            put((f"layers_{s}", "downsample", "norm", "bias"),
+                sd[tm + "norm.bias"])
+
+    put(("norm", "scale"), sd["norm.weight"])
+    put(("norm", "bias"), sd["norm.bias"])
+    return traverse_util.unflatten_dict(flat)
+
+
 def import_torch_isic(state_dict: Dict[str, Any], variables: Dict[str, Any],
                       depth: int) -> Dict[str, Any]:
     """Map a full reference ISICClassifier state dict (model.py:67-207) onto
-    our ISICClassifier variables: ViT backbone + MetadataBranch
+    our ISICClassifier variables: backbone (ViT, or SwinV2 — detected from
+    the state-dict keys; pass `depth` as the block count for ViT or the
+    per-stage depths tuple for Swin) + MetadataBranch
     (Linear→BN→GELU→Drop→Linear→BN→GELU, model.py:48-56) + classifier MLP
     (model.py:139-145). Returns {"params", "batch_stats"} ready for apply."""
     sd = {k: _to_np(v) for k, v in state_dict.items()}
@@ -118,7 +195,12 @@ def import_torch_isic(state_dict: Dict[str, Any], variables: Dict[str, Any],
     bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
              if k.startswith("backbone.")}
     params = dict(variables["params"])
-    params["backbone"] = import_torch_vit(bb_sd, params["backbone"], depth)
+    if any(k.startswith("layers.") for k in bb_sd):   # Swin backbone
+        params["backbone"] = import_torch_swin(bb_sd, params["backbone"],
+                                               depth)
+    else:
+        params["backbone"] = import_torch_vit(bb_sd, params["backbone"],
+                                              depth)
 
     flat = dict(traverse_util.flatten_dict(params))
     stats = dict(traverse_util.flatten_dict(variables.get("batch_stats", {})))

@@ -116,17 +116,204 @@ class _ShimViT(nn.Module):
         return self.norm(x)[:, 0]
 
 
+# --- SwinV2 shim (timm swin_transformer_v2 architecture + key layout) ------
+#
+# Faithful to timm: qkv Linear without bias + separate q_bias/v_bias, learned
+# per-head logit_scale (init log 10, clamped at log 100), cosine attention,
+# cpb_mlp (2→512→heads, ReLU, no bias on fc2) over the log-CPB table,
+# 16·sigmoid bias, post-norm blocks, PatchMerging at the START of stages 1..3
+# with (h_off, w_off) chunk order [(0,0),(1,0),(0,1),(1,1)], window clamped to
+# the stage resolution. The geometry tables reuse our numpy helpers
+# (fedvit_tpu.models.swin) — pure numpy, framework-neutral.
+
+import math
+
+import numpy as np
+import torch.nn.functional as F
+
+
+class _ShimSwinAttention(nn.Module):
+    def __init__(self, dim, heads, window, pretrained_window):
+        super().__init__()
+        from fedvit_tpu.models.swin import (relative_coords_table,
+                                            relative_position_index)
+        self.num_heads = heads
+        self.qkv = nn.Linear(dim, 3 * dim, bias=False)
+        self.q_bias = nn.Parameter(torch.zeros(dim))
+        self.v_bias = nn.Parameter(torch.zeros(dim))
+        self.logit_scale = nn.Parameter(
+            torch.log(10 * torch.ones(heads, 1, 1)))
+        self.cpb_mlp = nn.Sequential(nn.Linear(2, 512), nn.ReLU(),
+                                     nn.Linear(512, heads, bias=False))
+        self.proj = nn.Linear(dim, dim)
+        self.register_buffer(
+            "rct", torch.tensor(relative_coords_table(window,
+                                                      pretrained_window)),
+            persistent=False)
+        self.register_buffer(
+            "rpi", torch.tensor(relative_position_index(window)),
+            persistent=False)
+
+    def forward(self, x, mask=None):
+        b_, n, c = x.shape
+        h = self.num_heads
+        qkv_bias = torch.cat((self.q_bias, torch.zeros_like(self.v_bias),
+                              self.v_bias))
+        qkv = F.linear(x, self.qkv.weight, qkv_bias)
+        qkv = qkv.reshape(b_, n, 3, h, -1).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.unbind(0)
+        attn = F.normalize(q, dim=-1) @ F.normalize(k, dim=-1).transpose(-2, -1)
+        scale = torch.clamp(self.logit_scale, max=math.log(100.0)).exp()
+        attn = attn * scale
+        bias = self.cpb_mlp(self.rct).view(-1, h)[self.rpi.view(-1)]
+        bias = bias.view(n, n, h).permute(2, 0, 1)
+        attn = attn + 16.0 * torch.sigmoid(bias)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.view(b_ // nw, nw, h, n, n) + mask[None, :, None]
+            attn = attn.view(b_, h, n, n)
+        attn = attn.softmax(-1)
+        x = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+        return self.proj(x)
+
+
+def _torch_window_partition(x, w):
+    b, h, wd, c = x.shape
+    x = x.view(b, h // w, w, wd // w, w, c)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, w * w, c)
+
+
+def _torch_window_unpartition(x, w, h, wd):
+    c = x.shape[-1]
+    b = x.shape[0] // ((h // w) * (wd // w))
+    x = x.view(b, h // w, wd // w, w, w, c)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, wd, c)
+
+
+class _ShimSwinBlock(nn.Module):
+    def __init__(self, dim, heads, resolution, window, shift,
+                 pretrained_window):
+        super().__init__()
+        from fedvit_tpu.models.swin import shift_attention_mask
+        if window >= min(resolution):
+            window, shift = min(resolution), 0
+        self.window, self.shift = window, shift
+        self.resolution = resolution
+        self.attn = _ShimSwinAttention(dim, heads, window, pretrained_window)
+        self.norm1 = nn.LayerNorm(dim)
+        self.mlp = _Mlp(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        m = shift_attention_mask(resolution[0], resolution[1], window, shift)
+        self.register_buffer(
+            "mask", None if m is None else torch.tensor(m), persistent=False)
+
+    def forward(self, x):
+        h, w = self.resolution
+        shortcut = x
+        if self.shift:
+            x = torch.roll(x, (-self.shift, -self.shift), dims=(1, 2))
+        xw = _torch_window_partition(x, self.window)
+        xw = self.attn(xw, self.mask)
+        x = _torch_window_unpartition(xw, self.window, h, w)
+        if self.shift:
+            x = torch.roll(x, (self.shift, self.shift), dims=(1, 2))
+        x = shortcut + self.norm1(x)
+        return x + self.norm2(self.mlp(x))
+
+
+class _ShimPatchMerging(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+        self.norm = nn.LayerNorm(2 * dim)
+
+    def forward(self, x):
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.permute(0, 1, 3, 4, 2, 5).flatten(3)   # timm chunk order
+        return self.norm(self.reduction(x))
+
+
+class _ShimSwinStage(nn.Module):
+    def __init__(self, dim, depth, heads, resolution, window,
+                 pretrained_window, downsample):
+        super().__init__()
+        self.downsample = (_ShimPatchMerging(dim // 2) if downsample
+                           else nn.Identity())
+        self.blocks = nn.ModuleList(
+            _ShimSwinBlock(dim, heads, resolution, window,
+                           0 if i % 2 == 0 else window // 2,
+                           pretrained_window)
+            for i in range(depth))
+
+    def forward(self, x):
+        x = self.downsample(x)
+        for blk in self.blocks:
+            x = blk(x)
+        return x
+
+
+class _ShimSwinV2(nn.Module):
+    """timm-architecture SwinV2, num_classes=0 semantics (avg-pool head)."""
+
+    def __init__(self, img_size, patch, dim, depths, heads, window,
+                 pretrained_windows=None):
+        super().__init__()
+        pretrained_windows = pretrained_windows or (0,) * len(depths)
+        self.num_features = dim * 2 ** (len(depths) - 1)
+        self.patch_embed = _PatchEmbed(3, dim, patch)
+        self.patch_embed.norm = nn.LayerNorm(dim)
+        res = img_size // patch
+        self.layers = nn.ModuleList()
+        for s, depth in enumerate(depths):
+            r = res // 2 ** s
+            self.layers.append(_ShimSwinStage(
+                dim * 2 ** s, depth, heads[s], (r, r), window,
+                pretrained_windows[s], downsample=(s > 0)))
+        self.norm = nn.LayerNorm(self.num_features)
+        self.grid = res
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.patch_embed(x)                       # (B, N, C)
+        x = self.patch_embed.norm(x)
+        x = x.view(b, self.grid, self.grid, -1)
+        for layer in self.layers:
+            x = layer(x)
+        x = self.norm(x)
+        return x.flatten(1, 2).mean(1)
+
+
+_SWIN_SIZES = {
+    "tiny": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
+    "small": (96, (2, 2, 18, 2), (3, 6, 12, 24)),
+    "base": (128, (2, 2, 18, 2), (4, 8, 16, 32)),
+    "large": (192, (2, 2, 18, 2), (6, 12, 24, 48)),
+}
+
+
 def _create_model(name: str, pretrained: bool = False, num_classes: int = 0,
                   drop_path_rate: float = 0.0, **kwargs) -> nn.Module:
-    m = re.match(r"^vit_(tiny|small|base|large)_patch(\d+)_(\d+)", name)
-    assert m, f"timm shim supports only ViT names, got {name!r}"
     assert not pretrained, "timm shim has no pretrained weights"
     assert num_classes == 0, "timm shim is headless (num_classes=0) only"
     assert drop_path_rate == 0.0, (
         "parity oracle runs at drop_path_rate=0 (stochastic depth cannot be "
         "RNG-matched across frameworks)")
-    dim, depth, heads = _VIT_SIZES[m.group(1)]
-    return _ShimViT(int(m.group(3)), int(m.group(2)), dim, depth, heads)
+    m = re.match(r"^vit_(tiny|small|base|large)_patch(\d+)_(\d+)", name)
+    if m:
+        dim, depth, heads = _VIT_SIZES[m.group(1)]
+        return _ShimViT(int(m.group(3)), int(m.group(2)), dim, depth, heads)
+    m = re.match(r"^swinv2_(tiny|small|base|large)_window(\d+)"
+                 r"(?:to(\d+))?_(\d+)(?:to(\d+))?", name)
+    assert m, f"timm shim supports only ViT/SwinV2 names, got {name!r}"
+    dim, depths, heads = _SWIN_SIZES[m.group(1)]
+    win = int(m.group(3) or m.group(2))               # window12to24 → 24
+    img = int(m.group(5) or m.group(4))               # 192to384 → 384
+    pretrained_windows = None
+    if m.group(3):                                    # ft scheme: CPB tables
+        pw = int(m.group(2))                          # normalized by the
+        pretrained_windows = (pw, pw, pw, pw // 2)    # PRETRAINED extents
+    return _ShimSwinV2(img, 4, dim, depths, heads, win, pretrained_windows)
 
 
 def _install_shims() -> None:

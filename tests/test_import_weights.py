@@ -112,3 +112,64 @@ def test_import_torch_vit_matches_forward():
         ref = tm(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
     ours = np.asarray(jm.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# SwinV2 import — validated against the timm-architecture torch shim
+# ---------------------------------------------------------------------------
+
+def test_import_torch_swin_forward_parity():
+    """import_torch_swin must map a timm SwinV2 state dict so our backbone
+    reproduces the torch forward exactly (fp32). Covers qkv+q/v-bias, cosine
+    logit_scale, CPB MLP, shifted-window masks, PatchMerging chunk-order
+    permutation, and the timm start-of-stage → our end-of-stage downsample
+    renumbering."""
+    from fedvit_tpu.models.import_weights import import_torch_swin
+    from fedvit_tpu.models.swin import SwinTransformerV2
+    from tests.reference_oracle import _ShimSwinV2
+
+    torch.manual_seed(0)
+    depths, heads = (1, 2), (2, 4)
+    tm = _ShimSwinV2(img_size=32, patch=4, dim=16, depths=depths,
+                     heads=heads, window=4)
+    tm.eval()
+
+    ours = SwinTransformerV2(image_size=32, patch_size=4, in_channels=3,
+                             embed_dim=16, depths=depths, num_heads=heads,
+                             window_size=4, drop_path_rate=0.0)
+    variables = ours.init({"params": jax.random.key(0)},
+                          jnp.zeros((1, 32, 32, 3)))
+    params = import_torch_swin(tm.state_dict(), variables["params"], depths)
+
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.copy()).permute(0, 3, 1, 2)).numpy()
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_expand_patch_embed_swin():
+    """4-channel surgery (reference model.py:150-166) on the Swin patch
+    embed: 4th-channel rows = RGB mean, zero-mask input reproduces 3-ch."""
+    from fedvit_tpu.models.swin import SwinTransformerV2
+
+    m3 = SwinTransformerV2(image_size=32, patch_size=4, in_channels=3,
+                           embed_dim=16, depths=(1,), num_heads=(2,),
+                           window_size=4, drop_path_rate=0.0)
+    v3 = m3.init({"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)))
+    p4 = expand_patch_embed_in_channels(v3["params"], 3, 4)
+    w4 = np.asarray(p4["patch_embed"]["kernel"]).reshape(16, 4, 16)
+    w3 = np.asarray(v3["params"]["patch_embed"]["kernel"]).reshape(16, 3, 16)
+    assert np.allclose(w4[:, :3], w3)
+    assert np.allclose(w4[:, 3], w3.mean(axis=1))
+
+    m4 = SwinTransformerV2(image_size=32, patch_size=4, in_channels=4,
+                           embed_dim=16, depths=(1,), num_heads=(2,),
+                           window_size=4, drop_path_rate=0.0)
+    rng = np.random.default_rng(1)
+    x3 = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    x4 = np.concatenate([x3, np.zeros_like(x3[..., :1])], axis=-1)
+    o3 = m3.apply(v3, jnp.asarray(x3))
+    o4 = m4.apply({"params": p4}, jnp.asarray(x4))
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o4), atol=1e-5)
