@@ -28,6 +28,12 @@ class DataConfig:
     segmentation_mask_dir: str = "./masks"
     # our extension: generate masks on-device instead of reading PNGs
     on_device_masks: bool = False
+    # decoded-canvas RAM cache budget in GiB; 0 = unbounded (fits ISIC-2019
+    # at 224-canvas; a 384-canvas needs ~19 GB → set a budget and the cache
+    # becomes LRU)
+    cache_gb: float = 0.0
+    # host batches decoded ahead of device compute (epoch_batches)
+    prefetch_batches: int = 2
 
 
 @dataclass(frozen=True)
@@ -84,6 +90,11 @@ class OptimizerConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # dtype of Adam's first moment (HBM traffic / capacity trade; the second
+    # moment stays fp32 for range). "float32" matches torch AdamW bit
+    # behavior (the fp32 parity harness relies on it); perf configs use
+    # "bfloat16".
+    mu_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -141,6 +152,9 @@ class TrainingConfig:
     batch_size: int = 4
     gradient_accumulation_steps: int = 4
     auto_batch_size: bool = False
+    # shard the macro batch over a "data" mesh of all visible devices in
+    # train_fold (grads pmean'd by XLA SPMD); single-device runs ignore it
+    data_parallel: bool = False
     num_workers: int = 8           # host-side prefetch threads
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)

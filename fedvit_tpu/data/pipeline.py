@@ -20,6 +20,9 @@ segmenter (ops/cvseg) when data.on_device_masks is set.
 from __future__ import annotations
 
 import math
+import queue
+import threading
+from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Dict, Iterator, Optional
@@ -53,6 +56,64 @@ def _load_mask(path: Path, canvas: int) -> Optional[np.ndarray]:
         return np.asarray(im, dtype=np.uint8)[..., None]
 
 
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` in a background thread, keeping up to `depth` items decoded
+    ahead — overlaps host batch assembly with device compute (the reference
+    gets this from DataLoader workers, data.py:466-473). Order-preserving;
+    producer exceptions re-raise at the consumer."""
+    if depth <= 0:
+        yield from it
+        return
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    END, ERR = object(), object()
+
+    def producer():
+        try:
+            for x in it:
+                q.put(x)
+            q.put(END)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            q.put((ERR, e))
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+            raise item[1]
+        yield item
+
+
+class _ByteLRU:
+    """Byte-budgeted LRU over decoded canvases (dict-compatible subset)."""
+
+    def __init__(self, budget_bytes: int):
+        self.budget = budget_bytes
+        self.used = 0
+        self._d: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._lock = threading.Lock()
+
+    def __contains__(self, k: int) -> bool:
+        return k in self._d
+
+    def __getitem__(self, k: int) -> np.ndarray:
+        with self._lock:
+            self._d.move_to_end(k)
+            return self._d[k]
+
+    def __setitem__(self, k: int, v: np.ndarray) -> None:
+        with self._lock:
+            if k in self._d:
+                self._d.move_to_end(k)
+                return
+            self._d[k] = v
+            self.used += v.nbytes
+            while self.used > self.budget and len(self._d) > 1:
+                _, old = self._d.popitem(last=False)
+                self.used -= old.nbytes
+
+
 class HostDataSource:
     """Decodes a dataframe's images (and masks) to fixed-canvas uint8 arrays
     with a thread pool; optionally caches everything in RAM."""
@@ -75,7 +136,13 @@ class HostDataSource:
             self.df["site_idx"].to_numpy() if "site_idx" in self.df
             else np.full(len(self.df), 8),
         )
-        self._cache: Dict[int, np.ndarray] = {} if cache else None
+        if not cache:
+            self._cache = None
+        elif cfg.data.cache_gb and cfg.data.cache_gb > 0:
+            self._cache = _ByteLRU(int(cfg.data.cache_gb * 2**30))
+        else:
+            self._cache: Dict[int, np.ndarray] = {}
+        self.prefetch = cfg.data.prefetch_batches
 
     def __len__(self):
         return len(self.df)
@@ -142,13 +209,16 @@ class HostDataSource:
                       ) -> Iterator[Dict[str, np.ndarray]]:
         plan = epoch_indices(self.labels, batch_size, rng,
                              weighted=weighted, drop_last=drop_last)
-        for row in plan:
-            yield self.gather(row)
+        return prefetch_iterator((self.gather(row) for row in plan),
+                                 self.prefetch)
 
     def sequential_batches(self, batch_size: int
                            ) -> Iterator[Dict[str, np.ndarray]]:
-        for s in range(0, len(self), batch_size):
-            yield self.gather(np.arange(s, min(s + batch_size, len(self))))
+        def gen():
+            for s in range(0, len(self), batch_size):
+                yield self.gather(
+                    np.arange(s, min(s + batch_size, len(self))))
+        return prefetch_iterator(gen(), self.prefetch)
 
 
 class ArrayDataSource:

@@ -120,8 +120,17 @@ def train_federated(
     history: List[Dict] = []
 
     rep = NamedSharding(mesh, P())
+    data_ax = "data" if "data" in mesh.axis_names else None
     cl = lambda x: jax.device_put(  # noqa: E731
         x, NamedSharding(mesh, P(fed.mesh_axis, *([None] * (x.ndim - 1)))))
+
+    def cl_batch(x):
+        """(clients, steps, batch, ...) — batch dim sharded over "data" on a
+        2-D mesh (matching make_federated_round's in_specs)."""
+        if data_ax is None or x.ndim < 3:
+            return cl(x)
+        spec = P(fed.mesh_axis, None, data_ax, *([None] * (x.ndim - 3)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
     bstats = jax.tree.map(lambda x: jax.device_put(x, rep), bstats)
@@ -134,8 +143,12 @@ def train_federated(
         f"clients_per_round={cpr} must tile the mesh axis "
         f"({mesh.shape[fed.mesh_axis]})")
 
-    for rnd in range(1, fed.rounds + 1):
-        t0 = time.time()
+    # --- host/device overlap: assemble round r+1 while r computes ----------
+    # One single-thread executor keeps the np RNG draws in submission order
+    # (determinism), and device_put inside the worker overlaps H2D with the
+    # round's compute (the reference gets this from DataLoader workers,
+    # data.py:466-473).
+    def assemble():
         if cpr < fed.num_clients:
             active = np.sort(rng.choice(fed.num_clients, cpr, replace=False))
         else:
@@ -149,8 +162,18 @@ def train_federated(
             for c in active
         ]
         stacked = stack_client_batches(per_client)
-        batches = {k: cl(jnp.asarray(v)) for k, v in stacked.items()}
-        w_dev = cl(jnp.asarray(w_round))
+        batches = {k: cl_batch(jnp.asarray(v)) for k, v in stacked.items()}
+        return batches, cl(jnp.asarray(w_round))
+
+    from concurrent.futures import ThreadPoolExecutor
+    assembler = ThreadPoolExecutor(1)
+    pending = assembler.submit(assemble)
+
+    for rnd in range(1, fed.rounds + 1):
+        t0 = time.time()
+        batches, w_dev = pending.result()
+        if rnd < fed.rounds:
+            pending = assembler.submit(assemble)
 
         key, round_key = jax.random.split(key)
         params, bstats, metrics = round_fn(params, bstats, batches, w_dev,
@@ -197,4 +220,5 @@ def train_federated(
                   if eval_data is not None else "")
                + f" | {entry['round_time_s']:.1f}s")
 
+    assembler.shutdown(wait=False)
     return FederatedResult(params, bstats, ema_params, history)
