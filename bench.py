@@ -49,7 +49,7 @@ def main() -> None:
         "training": {
             "batch_size": batch_candidates[0],
             "gradient_accumulation_steps": 1,
-            "optimizer": {"lr": 1e-4},
+            "optimizer": {"lr": 1e-4, "mu_dtype": "bfloat16"},
             "llrd": {"enabled": True, "decay_rate": 0.75},
             "ema": {"enabled": True, "decay": 0.9995},
             "grad_clip": 1.0,
@@ -67,13 +67,26 @@ def main() -> None:
     loss_fn = build_loss(cfg)
     tx, _ = build_optimizer(cfg, variables["params"], steps_per_epoch=100)
 
+    # donation halves peak param/opt HBM, but the axon tunnel backend rejects
+    # donated multi-step execution AND a failed donated execution poisons the
+    # process (every later execution returns INVALID_ARGUMENT — verified
+    # empirically), so probing in-process is not safe. Donate only when the
+    # runtime is known-good (standard TPU runtimes: set FEDVIT_DONATE=1).
+    import os
+    donate = os.environ.get("FEDVIT_DONATE", "0") == "1"
+    host_params = jax.tree.map(np.asarray, variables["params"])
+    host_stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    def fresh_state():
+        return TrainState.create(
+            model.apply, jax.tree.map(jnp.asarray, host_params),
+            jax.tree.map(jnp.asarray, host_stats), tx, jax.random.key(1))
+
     best = None
     for bs in batch_candidates:
         try:
-            state = TrainState.create(model.apply, variables["params"],
-                                      variables["batch_stats"], tx,
-                                      jax.random.key(1))
-            train_step = make_train_step(cfg, loss_fn, donate=False)
+            state = fresh_state()
+            train_step = make_train_step(cfg, loss_fn, donate=donate)
             data_rng = np.random.default_rng(0)
             batch = {
                 "image": jnp.asarray(
@@ -117,12 +130,24 @@ def main() -> None:
         print(f"[bench] baseline measurement failed: {e}", file=sys.stderr)
         baseline = None
 
+    # MFU: fwd FLOPs (mult+add) for ViT-B/16@224 4-ch + meta head, train
+    # step ≈ 3× fwd; v5e bf16 peak 197 TFLOP/s
+    n_tok, dim, depth = 197, 768, 12
+    per_layer = (2 * n_tok * dim * 3 * dim + 2 * 2 * n_tok * n_tok * dim
+                 + 2 * n_tok * dim * dim + 2 * 2 * n_tok * dim * 4 * dim)
+    fwd_flops = depth * per_layer + 2 * 196 * (16 * 16 * 4) * dim
+    mfu = 3 * fwd_flops * best[1] / 197e12
+    print(f"[bench] MFU ~ {100*mfu:.1f}% (v5e 197 TFLOP/s peak)",
+          file=sys.stderr)
+
     result = {
         "metric": "vit_b16_224_train_images_per_sec_per_chip",
         "value": round(best[1], 2),
         "unit": "images/sec",
         "vs_baseline": round(best[1] / baseline, 2) if baseline else None,
         "batch_size": best[0],
+        "mfu_pct": round(100 * mfu, 1),
+        "donated": donate,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -46,7 +46,8 @@ def build_local_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_local_train(cfg: Config, apply_fn: Callable, loss_fn: LossFn,
-                     local_tx: optax.GradientTransformation) -> Callable:
+                     local_tx: optax.GradientTransformation,
+                     data_axis: str = None) -> Callable:
     """One client's local training for a round.
 
     (params, batch_stats, batches{(S,B,...)}, rng) →
@@ -55,7 +56,13 @@ def make_local_train(cfg: Config, apply_fn: Callable, loss_fn: LossFn,
     Each local step runs the on-device augmentation pipeline
     (data/pipeline.make_device_augment): the reference's train transform +
     normalization when federated.augment, else the eval transform — clients
-    always see the same input distribution as the fold trainer."""
+    always see the same input distribution as the fold trainer.
+
+    With `data_axis` set (2-D client×data mesh) each local batch arrives
+    sharded over that axis: per-shard grads / batch-stats / loss are pmean'd
+    over ICI every local step, so client params stay replicated along the
+    data axis. (MixUp then pairs samples within a shard — distributionally
+    equivalent; batch-stats are the mean of shard stats, sync-BN style.)"""
     from fedvit_tpu.data.pipeline import make_device_augment
     mix_fn = make_mix_fn(cfg.augmentation)
     use_meta = cfg.model.metadata.enabled
@@ -92,6 +99,10 @@ def make_local_train(cfg: Config, apply_fn: Callable, loss_fn: LossFn,
             imgs, labels, meta, step_rng = xs
             (loss, new_bstats), grads = grad_fn(
                 params, bstats, imgs, labels, meta, step_rng)
+            if data_axis is not None:
+                grads = jax.lax.pmean(grads, data_axis)
+                new_bstats = jax.lax.pmean(new_bstats, data_axis)
+                loss = jax.lax.pmean(loss, data_axis)
             updates, opt_state = local_tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, new_bstats, opt_state), loss
@@ -118,11 +129,18 @@ def make_federated_round(cfg: Config, apply_fn: Callable, loss_fn: LossFn,
     client_batches leaves have shape (num_clients, local_steps, batch, ...),
     sharded over the mesh "client" axis; num_clients must be divisible by the
     axis size (each device hosts num_clients/axis_size clients via vmap).
+
+    A 2-D mesh with a "data" axis additionally shards each client's local
+    BATCH over that axis: grads are pmean'd over "data" inside every local
+    step (sharded compute, replicated client params), and FedAvg still psums
+    over "client" — both collectives ride ICI.
     """
-    local_tx = build_local_optimizer(cfg)
-    local_train = make_local_train(cfg, apply_fn, loss_fn, local_tx)
     server_lr = cfg.federated.server_lr
     axis = cfg.federated.mesh_axis
+    data_axis = "data" if "data" in mesh.axis_names else None
+    local_tx = build_local_optimizer(cfg)
+    local_train = make_local_train(cfg, apply_fn, loss_fn, local_tx,
+                                   data_axis=data_axis)
 
     def round_body(global_params, global_bstats, batches, weights, rng):
         # ---- per-device shard: (clients_per_device, ...) ------------------
@@ -159,10 +177,13 @@ def make_federated_round(cfg: Config, apply_fn: Callable, loss_fn: LossFn,
 
     replicated = P()
     client_first = P(axis)
+    # (clients, steps, batch, ...): batch dim sharded over "data" when present
+    batch_spec = (P(axis, None, data_axis) if data_axis is not None
+                  else client_first)
 
     sharded = shard_map(
         round_body, mesh=mesh,
-        in_specs=(replicated, replicated, client_first, client_first,
+        in_specs=(replicated, replicated, batch_spec, client_first,
                   replicated),
         out_specs=(replicated, replicated, replicated),
         check_vma=False,

@@ -179,6 +179,24 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
     from fedvit_tpu.models.isic import count_parameters
     log(f" Parameters: {count_parameters(state.params):,}")
 
+    # data-parallel fold training: replicate the state over a "data" mesh and
+    # shard each macro batch's leading dim — XLA SPMD inserts the grad psum
+    dp_mesh = None
+    if t.data_parallel and len(jax.devices()) > 1:
+        from fedvit_tpu.parallel.mesh import data_mesh, replicate
+        dp_mesh = data_mesh()
+        ndev = dp_mesh.shape["data"]
+        assert macro_bs % ndev == 0, (
+            f"batch {macro_bs} not divisible by {ndev} data-parallel devices")
+        state = replicate(dp_mesh, state)
+        log(f" Data-parallel: batch sharded over {ndev} devices")
+
+    def place(jb):
+        if dp_mesh is None:
+            return jb
+        from fedvit_tpu.parallel.mesh import shard_batch
+        return shard_batch(dp_mesh, jb, axis="data")
+
     augment_train = jax.jit(make_device_augment(cfg, train=True))
     augment_eval = jax.jit(make_device_augment(cfg, train=False))
     train_step = make_train_step(cfg, loss_fn, donate=False)
@@ -232,7 +250,7 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
         losses = []
         for i, batch in enumerate(train_source.epoch_batches(
                 macro_bs, rng_np, t.use_weighted_sampler)):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            jb = place({k: jnp.asarray(v) for k, v in batch.items()})
             aug_key = jax.random.fold_in(
                 jax.random.key(cfg.seed * 1000 + epoch), i)
             jb = augment_train(jb, aug_key)

@@ -112,7 +112,9 @@ def build_optimizer(
     chain = []
     if t.grad_clip and t.grad_clip > 0:
         chain.append(optax.clip_by_global_norm(t.grad_clip))
-    chain.append(optax.scale_by_adam(b1=opt.b1, b2=opt.b2, eps=opt.eps))
+    chain.append(optax.scale_by_adam(
+        b1=opt.b1, b2=opt.b2, eps=opt.eps,
+        mu_dtype=jnp.dtype(opt.mu_dtype)))
     if opt.weight_decay:
         chain.append(optax.add_decayed_weights(opt.weight_decay))
     # the reference ALWAYS builds LLRD groups with the head at 10× base LR
