@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fedvit_tpu.ops.attention import dot_product_attention
+from fedvit_tpu.ops.attention import (dot_product_attention,
+                                       dot_product_attention_flat)
 
 # trunc-normal(0.02) — the reference head/backbone init (model.py:168-173)
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
@@ -113,13 +114,14 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         b, n, d = x.shape
         assert d % self.num_heads == 0
-        head_dim = d // self.num_heads
         qkv = nn.Dense(3 * d, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, H, Dh)
-        out = dot_product_attention(q, k, v, impl=self.attention_impl)
-        out = out.reshape(b, n, d)
+        # flat (B, N, E) head-major slices — the fused kernel consumes these
+        # directly, so no transpose/pad/slice layout ops exist on the TPU
+        # hot path (lane slices at E-aligned offsets are free)
+        q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+        out = dot_product_attention_flat(q, k, v, self.num_heads,
+                                         impl=self.attention_impl)
         out = nn.Dense(d, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

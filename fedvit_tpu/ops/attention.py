@@ -57,6 +57,29 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(orig_dtype)
 
 
+def dot_product_attention_flat(q: jnp.ndarray, k: jnp.ndarray,
+                               v: jnp.ndarray, num_heads: int,
+                               impl: str = "auto") -> jnp.ndarray:
+    """Unbiased attention on flat (B, N, E) operands (heads head-major in
+    lanes) — the zero-layout-op hot path for ViT backbones.
+
+    The Pallas branch consumes the flat operands directly (no transpose /
+    pad / slice anywhere, see ops/flash_attention.py); the XLA branch splits
+    heads with free reshapes.
+    """
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "pallas":
+        from fedvit_tpu.ops.flash_attention import flash_attention_flat
+        return flash_attention_flat(q, k, v, num_heads)
+    b, n, e = q.shape
+    d = e // num_heads
+    out = xla_attention(q.reshape(b, n, num_heads, d),
+                        k.reshape(b, n, num_heads, d),
+                        v.reshape(b, n, num_heads, d))
+    return out.reshape(b, n, e)
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: Optional[jnp.ndarray] = None,
                           impl: str = "auto",
