@@ -34,7 +34,8 @@ def main() -> None:
     from fedvit_tpu.train.step import make_train_step
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    batch_candidates = [256, 128, 64] if on_tpu else [16]
+    # measured sweep on v5e (flat-layout attention): 192 > 128 > 224 > 256
+    batch_candidates = [192, 128, 256, 64] if on_tpu else [16]
     steps = 20 if on_tpu else 3
 
     cfg = from_dict({

@@ -126,20 +126,22 @@ def _flat_bwd_kernel(nheads, scale, q_ref, k_ref, v_ref, do_ref,
 
 
 def _flat_groups(b: int, n: int, e: int, itemsize: int):
-    """Largest batch-group g (≤8, dividing b) whose fwd/bwd live set fits the
-    ~14 MB scoped-VMEM window (measured optimum on v5e — larger groups with a
-    raised vmem limit run SLOWER because pipelining headroom shrinks)."""
-    n_lanes = _round_up(n)
-    budget = 14 * 1024 * 1024
+    """Largest batch-group g dividing b whose fwd/bwd live set fits VMEM.
 
-    def pick(blocks: int, tiles: int) -> int:
+    Measured optimum on v5e (ViT-B shapes): fwd g=8-cap under the default
+    ~14 MB scoped window (larger groups with a raised vmem limit run SLOWER —
+    pipelining headroom shrinks); bwd g=4-cap under a raised 64 MB limit
+    (g=4 beats both g=2@default and g=8@64MB)."""
+    n_lanes = _round_up(n)
+
+    def pick(blocks: int, tiles: int, budget_mb: int, cap: int) -> int:
         per_g = 2 * blocks * n * e * itemsize + tiles * n * n_lanes * 4
-        g = max(1, min(8, budget // per_g))
+        g = int(max(1, min(cap, budget_mb * 1024 * 1024 // per_g)))
         while b % g:
             g -= 1
         return g
 
-    return pick(4, 2), pick(7, 4)
+    return pick(4, 2, 14, 8), pick(7, 4, 28, 4)
 
 
 def _flat_spec(g: int, n: int, e: int):
@@ -185,13 +187,21 @@ def _flat_bwd_rule(num_heads, interpret, res, grad_out):
     scale = 1.0 / float(np.sqrt(d))
     _, g = _flat_groups(b, n, e, q.dtype.itemsize)
 
+    interp = _interpret_flag(interpret)
+    kwargs = {}
+    if not interp:
+        # the bwd live set (7 blocks + 4 score tiles) exceeds the default
+        # ~16 MB scoped-vmem window at the measured-optimal g=4
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flat_bwd_kernel, num_heads, scale),
         grid=(b // g,),
         in_specs=[_flat_spec(g, n, e)] * 4,
         out_specs=[_flat_spec(g, n, e)] * 3,
         out_shape=[jax.ShapeDtypeStruct((b, n, e), q.dtype)] * 3,
-        interpret=_interpret_flag(interpret),
+        interpret=interp,
+        **kwargs,
     )(q, k, v, grad_out.astype(q.dtype))
     return dq, dk, dv
 
