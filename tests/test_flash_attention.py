@@ -179,3 +179,77 @@ def test_swin_block_pallas_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=tol,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+# ---------------------------------------------------------------------------
+# Flat-layout kernel (the zero-layout-op hot path, ops/flash_attention.py)
+# ---------------------------------------------------------------------------
+
+from fedvit_tpu.ops.attention import dot_product_attention_flat
+from fedvit_tpu.ops.flash_attention import flash_attention_flat
+
+
+def make_flat(b=4, n=197, e=128, seed=41, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    def t():
+        return jnp.asarray(rng.normal(size=(b, n, e)), dtype)
+    return t(), t(), t()
+
+
+@pytest.mark.parametrize("b,n,e,h", [(4, 197, 128, 4), (3, 64, 96, 3),
+                                     (6, 130, 64, 1)])
+def test_flat_forward_matches_xla(b, n, e, h):
+    q, k, v = make_flat(b, n, e)
+    d = e // h
+    ref = xla_attention(q.reshape(b, n, h, d), k.reshape(b, n, h, d),
+                        v.reshape(b, n, h, d)).reshape(b, n, e)
+    out = flash_attention_flat(q, k, v, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flat_backward_matches_xla():
+    b, n, e, h = 5, 96, 64, 2   # b=5 → batch group must divide (g=1 or 5)
+    q, k, v = make_flat(b, n, e, seed=43)
+    d = e // h
+
+    def loss_flat(q, k, v):
+        return (flash_attention_flat(q, k, v, h, interpret=True) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        out = xla_attention(q.reshape(b, n, h, d), k.reshape(b, n, h, d),
+                            v.reshape(b, n, h, d))
+        return (out.reshape(b, n, e) ** 2).sum()
+
+    g_flat = jax.grad(loss_flat, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, r, name in zip(g_flat, g_xla, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_flat_dispatch_pallas_vs_xla():
+    q, k, v = make_flat(4, 49, 96, seed=47)
+    out_p = dot_product_attention_flat(q, k, v, 3, impl="pallas")
+    out_x = dot_product_attention_flat(q, k, v, 3, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flat_head_layout_is_head_major():
+    """Head h must live at lanes [h·d, (h+1)·d) — the layout contract shared
+    with the QKV projection slicing in models/layers.py and the torch
+    pretrained-weight import."""
+    b, n, e, h = 2, 32, 64, 2
+    q, k, v = make_flat(b, n, e, seed=53)
+    out = flash_attention_flat(q, k, v, h, interpret=True)
+    d = e // h
+    for t in range(h):
+        sl = slice(t * d, (t + 1) * d)
+        ref_h = xla_attention(q[..., sl][:, :, None].transpose(0, 1, 2, 3)
+                              .reshape(b, n, 1, d),
+                              k[..., sl].reshape(b, n, 1, d),
+                              v[..., sl].reshape(b, n, 1, d))
+        np.testing.assert_allclose(np.asarray(out[..., sl]),
+                                   np.asarray(ref_h.reshape(b, n, d)),
+                                   rtol=2e-5, atol=2e-5)
