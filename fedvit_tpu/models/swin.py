@@ -15,12 +15,14 @@ SwinV2 specifics implemented (Liu et al. 2022, timm semantics):
   * window size clamps to the stage resolution (stage 4 @384 is 12×12 < 24)
 
 Layout: tokens kept as (B, H, W, C) between blocks (NHWC, XLA-native);
-window partition is a reshape/transpose, so every attention call is one
-batched (B·nW, w², heads, d) attention. On TPU that call is the fused Pallas
-biased-attention kernel (ops/flash_attention.flash_attention_bias): the
-rel-pos bias + shift mask enter as one per-(window, head) bias whose gradient
-is accumulated in-kernel, and the learned cosine scale is folded into q so
-its gradient flows through XLA.
+window partition is a WINDOW-MAJOR reshape/transpose to (nW·B, w², C) flat
+rows, so every attention call is the fused flat windowed kernel
+(ops/flash_attention.flash_attention_bias_flat) with zero re-layout: the
+CPB rel-pos bias (H, n, n) and static shift mask (nW, n, n) enter as
+SEPARATE kernel inputs added to the scores in-kernel (the (nW, H, n, n)
+combined bias never materializes in HBM), dBias accumulates across the
+window×batch grid in VMEM, and the learned cosine scale is folded into q
+so its gradient flows through XLA.
 """
 
 from __future__ import annotations
@@ -33,27 +35,35 @@ import numpy as np
 from flax import linen as nn
 
 from fedvit_tpu.models.layers import DropPath, Mlp, trunc_normal_init
-from fedvit_tpu.ops.attention import dot_product_attention
+from fedvit_tpu.ops.attention import windowed_attention_flat
 
 
 # ---------------------------------------------------------------------------
 # Static window helpers (pure numpy — computed at trace time)
 # ---------------------------------------------------------------------------
 
-def window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
-    """(B, H, W, C) → (B·nW, w², C)."""
+def window_partition(x: jnp.ndarray, w: int, major: bool = False
+                     ) -> jnp.ndarray:
+    """(B, H, W, C) → (B·nW, w², C) (batch-major) or (nW·B, w², C)
+    (window-major, `major=True` — rows of one window contiguous, the layout
+    the fused windowed kernel consumes without any re-layout)."""
     b, h, wd, c = x.shape
     x = x.reshape(b, h // w, w, wd // w, w, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.transpose((1, 3, 0, 2, 4, 5) if major else (0, 1, 3, 2, 4, 5))
     return x.reshape(-1, w * w, c)
 
 
-def window_unpartition(x: jnp.ndarray, w: int, h: int, wd: int) -> jnp.ndarray:
-    """(B·nW, w², C) → (B, H, W, C)."""
+def window_unpartition(x: jnp.ndarray, w: int, h: int, wd: int,
+                       major: bool = False) -> jnp.ndarray:
+    """Inverse of window_partition."""
     c = x.shape[-1]
     b = x.shape[0] // ((h // w) * (wd // w))
-    x = x.reshape(b, h // w, wd // w, w, w, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    if major:
+        x = x.reshape(h // w, wd // w, b, w, w, c)
+        x = x.transpose(2, 0, 3, 1, 4, 5)
+    else:
+        x = x.reshape(b, h // w, wd // w, w, w, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h, wd, c)
 
 
@@ -82,6 +92,27 @@ def relative_position_index(window: int) -> np.ndarray:
     rel[..., 1] += window - 1
     rel[..., 0] *= 2 * window - 1
     return rel.sum(-1).astype(np.int32)                    # (w², w²)
+
+
+def expand_bias_table(table: jnp.ndarray, window: int) -> jnp.ndarray:
+    """(2w−1, 2w−1, H) bias table → (w², w², H) per-pair bias.
+
+    Equivalent to `table.reshape(-1, H)[relative_position_index(w)]` but
+    expressed as static Toeplitz slices + stacks instead of a 331k-row
+    gather: on TPU the gather costs ~0.8 ms fwd and its VJP is a ~2 ms
+    scatter-add PER BLOCK (measured: 49 ms/step of scatter-add alone on
+    SwinV2-L@384), while slice/stack VJPs are cheap pads + adds. The
+    relative-position structure is separable: bias[(yi,xi),(yj,xj)] =
+    table[yi−yj+w−1, xi−xj+w−1]."""
+    w = window
+    h = table.shape[-1]
+    # U[yi, yj, dx, h] = table[yi−yj+w−1, dx, h]
+    u = jnp.stack([table[w - 1 - j: 2 * w - 1 - j] for j in range(w)],
+                  axis=1)                                  # (w, w, 2w−1, H)
+    # V[yi, yj, xi, xj, h] = U[yi, yj, xi−xj+w−1, h]
+    v = jnp.stack([u[:, :, w - 1 - j: 2 * w - 1 - j, :] for j in range(w)],
+                  axis=3)                                  # (w, w, w, w, H)
+    return v.transpose(0, 2, 1, 3, 4).reshape(w * w, w * w, h)
 
 
 def shift_attention_mask(h: int, w: int, window: int, shift: int
@@ -119,7 +150,12 @@ class WindowAttentionV2(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
-        """x: (B·nW, w², C); mask: static (nW, w², w²) or None."""
+        """x: (nW·B, w², C) WINDOW-MAJOR; mask: static (nW, w², w²) or None.
+
+        Everything stays in the flat (rows, tokens, lanes) layout — head
+        bias adds, cosine normalization (via head-segment one-hot matmuls)
+        and the fused windowed attention all avoid (…, H, d) intermediates,
+        whose (h, 32)-minor tiling forces relayouts on TPU."""
         bnw, n, c = x.shape
         h = self.num_heads
         d = c // h
@@ -129,45 +165,48 @@ class WindowAttentionV2(nn.Module):
         # SwinV2 uses q/v bias but no k bias (timm: q_bias, v_bias)
         q_bias = self.param("q_bias", nn.initializers.zeros, (c,))
         v_bias = self.param("v_bias", nn.initializers.zeros, (c,))
-        qkv = qkv.reshape(bnw, n, 3, h, d)
-        q = qkv[:, :, 0] + q_bias.reshape(h, d).astype(qkv.dtype)
-        k = qkv[:, :, 1]
-        v = qkv[:, :, 2] + v_bias.reshape(h, d).astype(qkv.dtype)
+        q = qkv[..., :c] + q_bias.astype(qkv.dtype)
+        k = qkv[..., c:2 * c]
+        v = qkv[..., 2 * c:] + v_bias.astype(qkv.dtype)
 
-        # cosine attention
-        qn = q / jnp.clip(jnp.linalg.norm(q.astype(jnp.float32), axis=-1,
-                                          keepdims=True), min=1e-6)
-        kn = k / jnp.clip(jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
-                                          keepdims=True), min=1e-6)
+        # cosine attention: per-head L2 norms on the flat layout — sum of
+        # squares per 64·h-aligned lane segment via a static one-hot matmul
+        # (C, H), broadcast back with its transpose
+        seg = jnp.asarray(np.repeat(np.eye(h, dtype=np.float32), d, axis=0))
         logit_scale = self.param(
             "logit_scale",
             lambda key, shape: jnp.full(shape, np.log(10.0), jnp.float32),
             (h, 1, 1))
         scale = jnp.exp(jnp.clip(logit_scale, max=float(np.log(100.0))))
 
-        # continuous relative position bias
+        def inv_norm(t, head_scale=None):
+            ss = jnp.einsum("bnc,ch->bnh", t.astype(jnp.float32) ** 2, seg)
+            inv = 1.0 / jnp.clip(jnp.sqrt(ss), min=1e-6)
+            if head_scale is not None:
+                inv = inv * head_scale.reshape(1, 1, h)
+            return jnp.einsum("bnh,ch->bnc", inv, seg)
+
+        # fold the learned per-head cosine scale into q (|q·s| scales away in
+        # the normalization, so applying it with the same lane pass is exact)
+        qn = (q * inv_norm(q, head_scale=scale)).astype(v.dtype)
+        kn = (k * inv_norm(k)).astype(v.dtype)
+
+        # continuous relative position bias — sigmoid on the small
+        # (2w−1)² table, then the Toeplitz slice/stack expansion (no gather;
+        # see expand_bias_table)
         table = relative_coords_table(self.window, self.pretrained_window)
-        idx = relative_position_index(self.window)
         cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(
             jnp.asarray(table))
         cpb = nn.relu(cpb)
         cpb = nn.Dense(h, use_bias=False, dtype=jnp.float32,
                        name="cpb_fc2")(cpb)                  # (1,2w-1,2w-1,H)
-        cpb = cpb.reshape(-1, h)[idx.reshape(-1)]            # (w⁴, H)
-        bias = 16.0 * jax.nn.sigmoid(cpb).reshape(n, n, h).transpose(2, 0, 1)
+        cpb = 16.0 * jax.nn.sigmoid(cpb[0])                  # (2w-1,2w-1,H)
+        bias = expand_bias_table(cpb, self.window).transpose(2, 0, 1)
 
-        # fold the shift mask into a per-(window, head) bias and the learned
-        # cosine scale into q, so one fused attention op (Pallas on TPU,
-        # differentiable bias + dScale via the q chain) does the rest
-        if mask is not None:
-            combined = bias[None] + jnp.asarray(mask)[:, None]  # (nW, H, n, n)
-        else:
-            combined = bias[None]                               # (1, H, n, n)
-        q_scaled = (qn * scale.reshape(1, 1, h, 1)).astype(v.dtype)
-        out = dot_product_attention(q_scaled, kn.astype(v.dtype), v,
-                                    bias=combined, impl=self.attention_impl,
-                                    scale=1.0)
-        out = out.reshape(bnw, n, c)
+        out = windowed_attention_flat(
+            qn, kn, v, bias,
+            jnp.asarray(mask) if mask is not None else None,
+            h, impl=self.attention_impl)
         return nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
                         name="proj")(out)
 
@@ -196,11 +235,11 @@ class SwinBlockV2(nn.Module):
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         mask = shift_attention_mask(h, w, win, shift)
-        xw = window_partition(x, win)
+        xw = window_partition(x, win, major=True)
         xw = WindowAttentionV2(self.num_heads, win, self.pretrained_window,
                                self.dtype, self.attention_impl,
                                name="attn")(xw, mask, deterministic)
-        x = window_unpartition(xw, win, h, w)
+        x = window_unpartition(xw, win, h, w, major=True)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         # post-norm (v2)

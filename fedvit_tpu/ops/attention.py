@@ -80,29 +80,61 @@ def dot_product_attention_flat(q: jnp.ndarray, k: jnp.ndarray,
     return out.reshape(b, n, e)
 
 
+def windowed_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            bias: jnp.ndarray, mask: Optional[jnp.ndarray],
+                            num_heads: int,
+                            impl: str = "auto") -> jnp.ndarray:
+    """Windowed biased attention on flat window-major operands (Swin path).
+
+    q, k, v: (W0·B, N, E) with rows [w·B, (w+1)·B) belonging to window w and
+    heads head-major in lanes. bias: (H, N, N) differentiable rel-pos bias;
+    mask: (W0, N, N) static additive shift mask or None. Any score scale is
+    folded into q by the caller.
+
+    On TPU this is one fused Pallas kernel (bias and mask added to scores
+    in-kernel — the (W0, H, N, N) combined bias never materializes in HBM,
+    and dBias accumulates across the window×batch grid in VMEM).
+    """
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    wb, n, e = q.shape
+    d = e // num_heads
+    if mask is None:
+        mask = jnp.zeros((1, n, n), jnp.float32)
+    if impl == "pallas":
+        from fedvit_tpu.ops.flash_attention import flash_attention_bias_flat
+        return flash_attention_bias_flat(q, k, v, bias, mask, num_heads)
+    # XLA reference: window-major grouping
+    w0 = mask.shape[0]
+    b = wb // w0
+    qh = q.reshape(w0, b, n, num_heads, d)
+    kh = k.reshape(w0, b, n, num_heads, d)
+    vh = v.reshape(w0, b, n, num_heads, d)
+    logits = jnp.einsum("wbnhd,wbmhd->wbhnm", qh, kh,
+                        preferred_element_type=jnp.float32)
+    logits = logits + bias[None, None].astype(jnp.float32)
+    logits = logits + mask[:, None, None].astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("wbhnm,wbmhd->wbnhd", weights, vh,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(wb, n, e)
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: Optional[jnp.ndarray] = None,
                           impl: str = "auto",
                           scale: Optional[float] = None) -> jnp.ndarray:
-    """Dispatch to the fused Pallas kernel on TPU or the XLA path.
+    """Generic (B, N, H, D) attention dispatch.
 
     impl: "auto" (pallas iff on TPU), "pallas", or "xla".
-    bias (see xla_attention) is differentiable on both paths; for the Pallas
-    path any non-default scale must already be folded into q (scale=1.0).
+    Hot paths use the flat entry points instead: ViT →
+    dot_product_attention_flat, Swin → windowed_attention_flat. Biased
+    attention on (B, N, H, D) operands always takes the XLA path — the
+    fused biased kernel works on the flat window-major layout only.
     """
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
-    if impl == "pallas":
-        if bias is None:
-            from fedvit_tpu.ops.flash_attention import flash_attention
-            return flash_attention(q, k, v)
-        from fedvit_tpu.ops.flash_attention import flash_attention_bias
-        if scale is None:
-            q = q * (1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
-                     ).astype(q.dtype)
-        else:
-            assert scale == 1.0, "fold non-default scales into q for pallas"
-        if bias.ndim == 3:
-            bias = bias[None]
-        return flash_attention_bias(q, k, v, bias)
+    if impl == "pallas" and bias is None:
+        from fedvit_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v)
     return xla_attention(q, k, v, bias=bias, scale=scale)

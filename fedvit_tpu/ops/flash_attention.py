@@ -25,12 +25,13 @@ exactly its q/k/v/o tensors) — and emits dQ, dK, dV in one kernel, again in
 flat (B, N, E) layout so the cotangents flow straight into the QKV
 projection's VJP.
 
-Biased attention (`flash_attention_bias`) covers Swin's relative-position
-bias + shift mask: scores = q·kᵀ + bias with bias differentiable — the
-backward ACCUMULATES dBias across the batch grid dimension inside the kernel
-(the bias block is revisited across consecutive grid steps, so the partial
-sum lives in VMEM). Any score scale (1/√d, or SwinV2's learned cosine scale)
-is folded into q by the caller, so scale gradients flow through XLA outside
+Windowed biased attention (`flash_attention_bias_flat`) covers Swin's
+relative-position bias + shift mask on the same flat layout: scores =
+q·kᵀ + bias_h + mask_w with bias differentiable — the backward ACCUMULATES
+dBias across the window×batch grid dimensions inside the kernel (the bias
+block is revisited across consecutive grid steps, so the partial sum lives
+in VMEM). Any score scale (1/√d, or SwinV2's learned cosine scale) is
+folded into q by the caller, so scale gradients flow through XLA outside
 the kernel.
 
 Reference parity: this op implements the attention inside the reference's
@@ -53,15 +54,6 @@ LANE = 128
 
 def _round_up(n: int, m: int = LANE) -> int:
     return ((n + m - 1) // m) * m
-
-
-def _pad_axis(x: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
-    pad = n - x.shape[axis]
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
 
 
 def _interpret_flag(interpret: Optional[bool]) -> bool:
@@ -226,185 +218,203 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Biased attention (Swin): scores = q·kᵀ + bias, bias differentiable
+# Flat windowed biased attention (Swin hot path)
 # ---------------------------------------------------------------------------
 #
-# q, k, v: (B, N, H, D) with B = B_outer·nW (batch × windows, window minor).
-# bias: (W0, H, N, N) fp32 — per-(window, head) additive bias (rel-pos bias
-# + shift mask); window index of batch element b is b % W0. The kernel
-# reorganizes to (W = W0·H, B_outer, N, D) and runs a 2-D grid
-# (W, B_outer/G): for a fixed bias block the batch tiles iterate fastest,
-# so dBias accumulates in the revisited VMEM output block.
+# q, k, v: (W0·B, N, E) WINDOW-MAJOR flat layout — rows [w·B, (w+1)·B) all
+# belong to window w, heads packed head-major along lanes (same contract as
+# flash_attention_flat). bias: (H, N, N) fp32, differentiable (Swin's CPB
+# rel-pos bias). mask: (W0, N, N) fp32, non-differentiable (the static
+# shifted-window cross-region mask; pass a zeros (1, N, N) when unmasked).
+#
+# Keeping bias and mask SEPARATE kernel inputs (added to the scores
+# in-kernel) avoids materializing the (W0, H, N, N) combined bias in HBM —
+# 127 MB per block at SwinV2-L stage 1 — which the previous window-minor
+# kernel forced. The grid is (H/hb, W0, B/g) with the head-block dimension
+# OUTERMOST so the dBias output block sees only consecutive grid steps and
+# can accumulate across both window and batch dimensions in VMEM.
 
-def _bias_group_size(r_pad: int, c_pad: int, d_pad: int, itemsize: int) -> int:
-    """Batch-group size under a ~9 MB VMEM budget (s and p tiles dominate)."""
-    per_g = r_pad * c_pad * 4 * 2 + 4 * (r_pad + c_pad) * d_pad * itemsize
-    fixed = 2 * r_pad * c_pad * 4  # bias in + dbias out
-    budget = 9 * 1024 * 1024
-    return int(max(1, min(8, (budget - fixed) // per_g)))
-
-
-def _window_layout(t: jnp.ndarray, w0: int, n_pad: int, d_pad: int,
-                   gb: int) -> jnp.ndarray:
-    """(B_outer·W0, N, H, D) → (W0·H, B_outer_pad, N_pad, D_pad)."""
-    b, n, h, d = t.shape
-    bo = b // w0
-    x = t.reshape(bo, w0, n, h, d).transpose(1, 3, 0, 2, 4)
-    x = x.reshape(w0 * h, bo, n, d)
-    x = _pad_axis(_pad_axis(x, n_pad, 2), d_pad, 3)
-    return _pad_axis(x, _round_up(bo, gb), 1)
+def _wflat_head_block(num_heads: int, d: int) -> int:
+    """Heads per grid cell: smallest divisor of H whose lane width hb·d is a
+    multiple of 128 (legal non-full block lane dim); falls back to all heads
+    (block = full E, always legal)."""
+    for hb in range(1, num_heads):
+        if num_heads % hb == 0 and (hb * d) % LANE == 0:
+            return hb
+    return num_heads
 
 
-def _window_unlayout(x: jnp.ndarray, b: int, n: int, h: int, d: int,
-                     w0: int) -> jnp.ndarray:
-    """(W0·H, B_outer_pad, N_pad, D_pad) → (B, N, H, D)."""
-    bo = b // w0
-    x = x[:, :bo, :n, :d].reshape(w0, h, bo, n, d)
-    return x.transpose(2, 0, 3, 1, 4).reshape(b, n, h, d)
+def _wflat_groups(b: int, n: int, hb: int, d: int, h: int, itemsize: int):
+    """Batch-group sizes for fwd/bwd under the scoped-VMEM window, counting
+    the resident bias/mask blocks."""
+    n_lanes = _round_up(n)
+    fixed = (hb + 1) * n * n_lanes * 4          # bias block + mask block
+
+    def pick(blocks: int, tiles: int, budget_mb: int, cap: int) -> int:
+        per_g = 2 * blocks * n * hb * d * itemsize + tiles * n * n_lanes * 4
+        avail = budget_mb * 1024 * 1024 - (2 if blocks > 4 else 1) * fixed
+        g = int(max(1, min(cap, avail // per_g)))
+        while b % g:
+            g -= 1
+        return g
+
+    return pick(4, 2, 14, 8), pick(7, 4, 28, 4)
 
 
-def _bias_probs(q_ref, k_ref, b_ref, n_real):
-    s = jax.lax.dot_general(q_ref[0], k_ref[0], _BATCHED_QKT,
-                            preferred_element_type=jnp.float32)
-    s = s + b_ref[0][None].astype(jnp.float32)
-    g, r, c = s.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (g, r, c), 2)
-    s = jnp.where(col < n_real, s, -1e30)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+def _wflat_fwd_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref, o_ref):
+    m = m_ref[0][None].astype(jnp.float32)
+    outs = []
+    for t in range(hb):
+        sl = slice(t * d, (t + 1) * d)
+        s = jax.lax.dot_general(q_ref[:, :, sl], k_ref[:, :, sl],
+                                _BATCHED_QKT,
+                                preferred_element_type=jnp.float32)
+        s = s + b_ref[t][None] + m
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+        o = jax.lax.dot_general(p, v_ref[:, :, sl], _BATCHED_PV,
+                                preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
 
 
-def _bias_fwd_kernel(n_real, q_ref, k_ref, v_ref, b_ref, o_ref):
-    p = _bias_probs(q_ref, k_ref, b_ref, n_real)
-    o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0], _BATCHED_PV,
-                            preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+def _wflat_bwd_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, db_ref):
+    m = m_ref[0][None].astype(jnp.float32)
+    first = jnp.logical_and(pl.program_id(1) == 0, pl.program_id(2) == 0)
+    dqs, dks, dvs, dbs = [], [], [], []
+    for t in range(hb):
+        sl = slice(t * d, (t + 1) * d)
+        s = jax.lax.dot_general(q_ref[:, :, sl], k_ref[:, :, sl],
+                                _BATCHED_QKT,
+                                preferred_element_type=jnp.float32)
+        s = s + b_ref[t][None] + m
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
 
+        do = do_ref[:, :, sl]
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[:, :, sl], _BATCHED_QKT,
+                                 preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - row)                    # fp32 (g, N, N)
+        ds_lp = ds.astype(do.dtype)
+        dq = jax.lax.dot_general(ds_lp, k_ref[:, :, sl], _BATCHED_PV,
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds_lp, q_ref[:, :, sl], _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq.astype(dq_ref.dtype))
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+        dbs.append(jnp.sum(ds, axis=0))
+    dq_ref[:] = jnp.concatenate(dqs, axis=-1)
+    dk_ref[:] = jnp.concatenate(dks, axis=-1)
+    dv_ref[:] = jnp.concatenate(dvs, axis=-1)
+    dsum = jnp.stack(dbs, axis=0)              # (hb, N, N)
 
-def _bias_bwd_kernel(n_real, q_ref, k_ref, v_ref, b_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, db_ref):
-    p = _bias_probs(q_ref, k_ref, b_ref, n_real)
-    do = do_ref[0]
-    p_lp = p.astype(do.dtype)
-    dv = jax.lax.dot_general(p_lp, do, _BATCHED_PTDO,
-                             preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v_ref[0], _BATCHED_QKT,
-                             preferred_element_type=jnp.float32)
-    row = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - row)                       # fp32 (G, R, C)
-    ds_lp = ds.astype(q_ref.dtype)
-    dq = jax.lax.dot_general(ds_lp, k_ref[0], _BATCHED_PV,
-                             preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds_lp, q_ref[0], _BATCHED_PTDO,
-                             preferred_element_type=jnp.float32)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
-    dsum = jnp.sum(ds, axis=0)                # (R, C)
-    bi = pl.program_id(1)
-
-    @pl.when(bi == 0)
+    @pl.when(first)
     def _():
-        db_ref[0] = dsum
+        db_ref[:] = dsum
 
-    @pl.when(bi > 0)
+    @pl.when(jnp.logical_not(first))
     def _():
-        db_ref[0] = db_ref[0] + dsum
+        db_ref[:] = db_ref[:] + dsum
 
 
-def _bias_specs(gb: int, r_pad: int, c_pad: int, d_pad: int):
-    q_spec = pl.BlockSpec((1, gb, r_pad, d_pad), lambda w, i: (w, i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, gb, c_pad, d_pad), lambda w, i: (w, i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((1, r_pad, c_pad), lambda w, i: (w, 0, 0),
-                          memory_space=pltpu.VMEM)
-    return q_spec, kv_spec, b_spec
+def _wflat_dims(q, bias, mask, num_heads):
+    wb, n, e = q.shape
+    h = bias.shape[0]
+    assert h == num_heads and e % h == 0
+    d = e // h
+    w0 = mask.shape[0]
+    assert wb % w0 == 0, f"rows {wb} not divisible by windows {w0}"
+    assert bias.shape == (h, n, n) and mask.shape == (w0, n, n)
+    b = wb // w0
+    hb = _wflat_head_block(h, d)
+    return wb, n, e, h, d, w0, b, hb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def flash_attention_bias(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                         bias: jnp.ndarray,
-                         interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Fused biased attention: softmax(q·kᵀ + bias)·v, bias differentiable.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention_bias_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                              bias: jnp.ndarray, mask: jnp.ndarray,
+                              num_heads: int,
+                              interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused windowed attention: softmax(q_h·k_hᵀ + bias_h + mask_w)·v_h.
 
-    q, k, v: (B, N, H, D); bias: (W0, H, N, N) with B % W0 == 0 (window
-    index = b % W0; W0 == 1 broadcasts one bias over the batch). The caller
-    folds any score scale into q."""
-    out, _ = _bias_fwd_rule(q, k, v, bias, interpret)
+    q, k, v: (W0·B, N, E) window-major flat; bias (H, N, N) differentiable;
+    mask (W0, N, N) static additive. Caller folds any score scale into q.
+    """
+    out, _ = _wflat_fwd_rule(q, k, v, bias, mask, num_heads, interpret)
     return out
 
 
-def _bias_dims(q, bias):
-    b, n, h, d = q.shape
-    w0 = bias.shape[0]
-    assert b % w0 == 0, f"batch {b} not divisible by bias windows {w0}"
-    assert bias.shape[1] == h and bias.shape[2] == n and bias.shape[3] == n
-    sublane = 16 if q.dtype == jnp.bfloat16 else 8
-    r_pad = _round_up(n, sublane)
-    c_pad = _round_up(n)
-    d_pad = _round_up(d, 64)
-    gb = _bias_group_size(r_pad, c_pad, d_pad, q.dtype.itemsize)
-    bo_pad = _round_up(b // w0, gb)
-    return b, n, h, d, w0, r_pad, c_pad, d_pad, gb, bo_pad
+def _wflat_specs(g, n, e, hb, d, w0, b, h):
+    bpg = b // g
+    qkv = pl.BlockSpec((g, n, hb * d), lambda j, w, i: (w * bpg + i, 0, j),
+                       memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((hb, n, n), lambda j, w, i: (j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((1, n, n), lambda j, w, i: (w if w0 > 1 else 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return qkv, bias, mask
 
 
-def _pad_bias(bias, w0, h, r_pad, c_pad):
-    x = bias.astype(jnp.float32).reshape(w0 * h, bias.shape[2], bias.shape[3])
-    return _pad_axis(_pad_axis(x, r_pad, 1), c_pad, 2)
+def _wflat_compiler_kwargs(interp: bool):
+    """Raise the scoped-VMEM window: the resident bias (hb, N, N) + mask
+    (1, N, N) f32 blocks alone approach the 16 MB default at Swin windows
+    (N=576), and Mosaic scratch pushes past it."""
+    if interp:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024)}
 
 
-def _bias_fwd_rule(q, k, v, bias, interpret):
-    b, n, h, d, w0, r_pad, c_pad, d_pad, gb, bo_pad = _bias_dims(q, bias)
-    qt = _window_layout(q, w0, r_pad, d_pad, gb)
-    kt = _window_layout(k, w0, c_pad, d_pad, gb)
-    vt = _window_layout(v, w0, c_pad, d_pad, gb)
-    bt = _pad_bias(bias, w0, h, r_pad, c_pad)
-
-    q_spec, kv_spec, b_spec = _bias_specs(gb, r_pad, c_pad, d_pad)
+def _wflat_fwd_rule(q, k, v, bias, mask, num_heads, interpret):
+    wb, n, e, h, d, w0, b, hb = _wflat_dims(q, bias, mask, num_heads)
+    g, _ = _wflat_groups(b, n, hb, d, h, q.dtype.itemsize)
+    qkv_spec, b_spec, m_spec = _wflat_specs(g, n, e, hb, d, w0, b, h)
+    interp = _interpret_flag(interpret)
     out = pl.pallas_call(
-        functools.partial(_bias_fwd_kernel, n),
-        grid=(w0 * h, bo_pad // gb),
-        in_specs=[q_spec, kv_spec, kv_spec, b_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((w0 * h, bo_pad, r_pad, d_pad),
-                                       q.dtype),
-        interpret=_interpret_flag(interpret),
-    )(qt, kt, vt, bt)
-    return _window_unlayout(out, b, n, h, d, w0), (q, k, v, bias)
+        functools.partial(_wflat_fwd_kernel, hb, d),
+        grid=(h // hb, w0, b // g),
+        in_specs=[qkv_spec] * 3 + [b_spec, m_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((wb, n, e), q.dtype),
+        interpret=interp,
+        **_wflat_compiler_kwargs(interp),
+    )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32))
+    return out, (q, k, v, bias)
 
 
-def _bias_bwd_rule(interpret, res, grad_out):
-    q, k, v, bias = res
-    b, n, h, d, w0, r_pad, c_pad, d_pad, gb, bo_pad = _bias_dims(q, bias)
-    qt = _window_layout(q, w0, r_pad, d_pad, gb)
-    kt = _window_layout(k, w0, c_pad, d_pad, gb)
-    vt = _window_layout(v, w0, c_pad, d_pad, gb)
-    gt = _window_layout(grad_out, w0, r_pad, d_pad, gb)
-    bt = _pad_bias(bias, w0, h, r_pad, c_pad)
-
-    q_spec, kv_spec, b_spec = _bias_specs(gb, r_pad, c_pad, d_pad)
-    dq, dk, dv, db = pl.pallas_call(
-        functools.partial(_bias_bwd_kernel, n),
-        grid=(w0 * h, bo_pad // gb),
-        in_specs=[q_spec, kv_spec, kv_spec, b_spec, q_spec],
-        out_specs=[q_spec, kv_spec, kv_spec, b_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((w0 * h, bo_pad, r_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((w0 * h, bo_pad, c_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((w0 * h, bo_pad, c_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((w0 * h, r_pad, c_pad), jnp.float32),
-        ],
-        interpret=_interpret_flag(interpret),
-    )(qt, kt, vt, bt, gt)
-
-    dbias = db[:, :n, :n].reshape(w0, h, n, n).astype(bias.dtype)
-    return (_window_unlayout(dq, b, n, h, d, w0),
-            _window_unlayout(dk, b, n, h, d, w0),
-            _window_unlayout(dv, b, n, h, d, w0),
-            dbias)
+def _make_wflat_bwd():
+    def rule(num_heads, interpret, res, grad_out):
+        q, k, v, bias, mask = res
+        wb, n, e, h, d, w0, b, hb = _wflat_dims(q, bias, mask, num_heads)
+        _, g = _wflat_groups(b, n, hb, d, h, q.dtype.itemsize)
+        qkv_spec, b_spec, m_spec = _wflat_specs(g, n, e, hb, d, w0, b, h)
+        interp = _interpret_flag(interpret)
+        kwargs = _wflat_compiler_kwargs(interp)
+        dq, dk, dv, db = pl.pallas_call(
+            functools.partial(_wflat_bwd_kernel, hb, d),
+            grid=(h // hb, w0, b // g),
+            in_specs=[qkv_spec] * 3 + [b_spec, m_spec, qkv_spec],
+            out_specs=[qkv_spec] * 3 + [b_spec],
+            out_shape=[jax.ShapeDtypeStruct((wb, n, e), q.dtype)] * 3
+            + [jax.ShapeDtypeStruct((h, n, n), jnp.float32)],
+            interpret=interp,
+            **kwargs,
+        )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32),
+          grad_out.astype(q.dtype))
+        return dq, dk, dv, db.astype(bias.dtype), jnp.zeros_like(mask)
+    return rule
 
 
-flash_attention_bias.defvjp(_bias_fwd_rule, _bias_bwd_rule)
+def _wflat_fwd_rule_vjp(q, k, v, bias, mask, num_heads, interpret):
+    out, _ = _wflat_fwd_rule(q, k, v, bias, mask, num_heads, interpret)
+    return out, (q, k, v, bias, mask)
+
+
+flash_attention_bias_flat.defvjp(_wflat_fwd_rule_vjp, _make_wflat_bwd())

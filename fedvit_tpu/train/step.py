@@ -100,23 +100,30 @@ def make_train_step(cfg: Config, loss_fn: LossFn,
 
         grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
-        def scan_body(carry, xs):
-            grads_acc, loss_acc, bstats = carry
-            mb_imgs, mb_labels, mb_meta, mb_rng = xs
+        if accum == 1:
+            # fast path: no accumulation buffer — saves two full-gradient
+            # HBM passes (zero-init + add) and the 1/accum scale pass
             (loss, new_bstats), grads = grad_fn(
-                state.params, bstats, mb_imgs, mb_labels, mb_meta, mb_rng)
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            return (grads_acc, loss_acc + loss, new_bstats), None
+                state.params, state.batch_stats, imgs_r[0], labels_r[0],
+                meta_r[0], micro_rngs[0])
+        else:
+            def scan_body(carry, xs):
+                grads_acc, loss_acc, bstats = carry
+                mb_imgs, mb_labels, mb_meta, mb_rng = xs
+                (loss, new_bstats), grads = grad_fn(
+                    state.params, bstats, mb_imgs, mb_labels, mb_meta, mb_rng)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss, new_bstats), None
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        (grads, loss_sum, new_bstats), _ = jax.lax.scan(
-            scan_body,
-            (zero_grads, jnp.float32(0.0), state.batch_stats),
-            (imgs_r, labels_r, meta_r, micro_rngs))
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss_sum, new_bstats), _ = jax.lax.scan(
+                scan_body,
+                (zero_grads, jnp.float32(0.0), state.batch_stats),
+                (imgs_r, labels_r, meta_r, micro_rngs))
 
-        inv = 1.0 / accum
-        grads = jax.tree.map(lambda g: g * inv, grads)
-        loss = loss_sum * inv
+            inv = 1.0 / accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss = loss_sum * inv
 
         updates, new_opt_state = state.tx.update(
             grads, state.opt_state, state.params)

@@ -90,64 +90,68 @@ def test_dispatch_zero_bias_matches_unbiased():
 
 
 # ---------------------------------------------------------------------------
-# Biased kernel (Swin rel-pos bias + shift mask path)
+# Flat windowed biased kernel (Swin rel-pos bias + shift mask path)
 # ---------------------------------------------------------------------------
 
-from fedvit_tpu.ops.flash_attention import flash_attention_bias
+from fedvit_tpu.ops.attention import windowed_attention_flat
+from fedvit_tpu.ops.flash_attention import flash_attention_bias_flat
 
 
-def make_window_bias(w0, h, n, seed=7):
+def make_windowed(w0, b, n, e, seed=7):
     rng = np.random.default_rng(seed)
-    return jnp.asarray(rng.normal(size=(w0, h, n, n)), jnp.float32)
+    def t(shape):
+        return jnp.asarray(rng.normal(size=shape), jnp.float32)
+    return (t((w0 * b, n, e)), t((w0 * b, n, e)), t((w0 * b, n, e)))
 
 
-@pytest.mark.parametrize("n,w0", [(64, 1), (49, 4), (144, 2)])
-def test_bias_forward_matches_xla(n, w0):
-    b_outer, h, d = 3, 2, 16
-    q, k, v = make_qkv(b=b_outer * w0, n=n, h=h, d=d, seed=11)
-    bias = make_window_bias(w0, h, n)
-    scale = 1.0 / np.sqrt(d)
-    ref = xla_attention(q, k, v, bias=bias)
-    out = flash_attention_bias(q * scale, k, v, bias, interpret=True)
+@pytest.mark.parametrize("n,w0,h", [(64, 1, 2), (49, 4, 2), (144, 2, 3)])
+def test_wflat_forward_matches_xla(n, w0, h):
+    b, e = 3, 48 if h == 3 else 32
+    q, k, v = make_windowed(w0, b, n, e, seed=11)
+    rng = np.random.default_rng(7)
+    bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+    mask = jnp.asarray(rng.normal(size=(w0, n, n)), jnp.float32)
+    ref = windowed_attention_flat(q, k, v, bias, mask, h, impl="xla")
+    out = flash_attention_bias_flat(q, k, v, bias, mask, h, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
 
-def test_bias_backward_matches_xla():
+def test_wflat_backward_matches_xla():
     """dq, dk, dv AND dbias — the in-kernel dBias accumulation across the
-    batch grid dimension must match XLA's autodiff through the bias add."""
-    b_outer, w0, n, h, d = 5, 2, 49, 2, 16   # b_outer > group → >1 batch tile
-    q, k, v = make_qkv(b=b_outer * w0, n=n, h=h, d=d, seed=13)
-    bias = make_window_bias(w0, h, n, seed=17)
+    window×batch grid dimensions must match XLA autodiff through the
+    bias add (b > group forces >1 batch tile; w0 > 1 forces >1 window)."""
+    w0, b, n, h, e = 2, 5, 49, 2, 32
+    q, k, v = make_windowed(w0, b, n, e, seed=13)
     rng = np.random.default_rng(19)
+    bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+    mask = jnp.asarray(rng.normal(size=(w0, n, n)), jnp.float32)
     ct = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
-    scale = 1.0 / np.sqrt(d)
 
     _, vjp_pal = jax.vjp(
-        lambda q, k, v, b: flash_attention_bias(q * scale, k, v, b,
-                                                interpret=True), q, k, v, bias)
-    _, vjp_xla = jax.vjp(lambda q, k, v, b: xla_attention(q, k, v, bias=b),
-                         q, k, v, bias)
-    for a, b, name in zip(vjp_pal(ct), vjp_xla(ct), ["q", "k", "v", "bias"]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+        lambda q, k, v, bi: flash_attention_bias_flat(q, k, v, bi, mask, h,
+                                                      interpret=True),
+        q, k, v, bias)
+    _, vjp_xla = jax.vjp(
+        lambda q, k, v, bi: windowed_attention_flat(q, k, v, bi, mask, h,
+                                                    impl="xla"),
+        q, k, v, bias)
+    for a, r, name in zip(vjp_pal(ct), vjp_xla(ct), ["q", "k", "v", "bias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
 
 
-def test_bias_dispatch_pallas_vs_xla_grads():
-    """dot_product_attention(impl=pallas) with a window bias must match the
-    XLA path for values and all gradients (default 1/√d scale)."""
-    q, k, v = make_qkv(b=4, n=49, h=2, d=16, seed=23)
-    bias = make_window_bias(2, 2, 49, seed=29)
-
-    def run(impl):
-        def f(q, k, v, b):
-            return (dot_product_attention(q, k, v, bias=b, impl=impl)
-                    .astype(jnp.float32) ** 2).sum()
-        return jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, bias)
-
-    for a, b, name in zip(run("pallas"), run("xla"), ["q", "k", "v", "bias"]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+def test_wflat_no_mask_broadcasts():
+    """mask=None must equal an explicit zero mask on both impls."""
+    w0, b, n, h, e = 1, 4, 36, 2, 32
+    q, k, v = make_windowed(w0, b, n, e, seed=23)
+    rng = np.random.default_rng(29)
+    bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+    zero = jnp.zeros((1, n, n), jnp.float32)
+    for impl in ("pallas", "xla"):
+        a = windowed_attention_flat(q, k, v, bias, None, h, impl=impl)
+        r = windowed_attention_flat(q, k, v, bias, zero, h, impl=impl)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-6)
 
 
 def test_swin_block_pallas_matches_xla():

@@ -155,3 +155,21 @@ def test_seg_guided_classifier_old_gen():
                             deterministic=False,
                             rngs={"dropout": rng}, mutable=["batch_stats"])
     assert "seg_branch" in mut["batch_stats"]
+
+
+def test_expand_bias_table_matches_gather():
+    """The Toeplitz slice/stack expansion must equal the reference
+    table.reshape(-1, H)[relative_position_index(w)] gather formulation."""
+    from fedvit_tpu.models.swin import expand_bias_table
+    import numpy as np
+    import jax.numpy as jnp
+    for w in (2, 3, 8):
+        h = 3
+        rng = np.random.default_rng(w)
+        table = jnp.asarray(rng.normal(size=(2 * w - 1, 2 * w - 1, h)),
+                            jnp.float32)
+        idx = relative_position_index(w)
+        ref = np.asarray(table.reshape(-1, h))[idx.reshape(-1)].reshape(
+            w * w, w * w, h)
+        out = np.asarray(expand_bias_table(table, w))
+        np.testing.assert_allclose(out, ref, rtol=0, atol=0)
