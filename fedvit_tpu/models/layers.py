@@ -16,8 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fedvit_tpu.ops.attention import (dot_product_attention,
-                                       dot_product_attention_flat)
+from fedvit_tpu.ops.attention import attention_from_qkv
 
 # trunc-normal(0.02) — the reference head/backbone init (model.py:168-173)
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
@@ -116,12 +115,10 @@ class MultiHeadAttention(nn.Module):
         assert d % self.num_heads == 0
         qkv = nn.Dense(3 * d, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="qkv")(x)
-        # flat (B, N, E) head-major slices — the fused kernel consumes these
-        # directly, so no transpose/pad/slice layout ops exist on the TPU
-        # hot path (lane slices at E-aligned offsets are free)
-        q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
-        out = dot_product_attention_flat(q, k, v, self.num_heads,
-                                         impl=self.attention_impl)
+        # the fused kernel consumes the packed (B, N, 3E) projection output
+        # directly — zero layout/slice/concat ops on the TPU hot path
+        out = attention_from_qkv(qkv, self.num_heads,
+                                 impl=self.attention_impl)
         out = nn.Dense(d, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

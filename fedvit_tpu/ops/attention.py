@@ -80,6 +80,22 @@ def dot_product_attention_flat(q: jnp.ndarray, k: jnp.ndarray,
     return out.reshape(b, n, e)
 
 
+def attention_from_qkv(qkv: jnp.ndarray, num_heads: int,
+                       impl: str = "auto") -> jnp.ndarray:
+    """Unbiased attention straight from the packed (B, N, 3E) QKV projection
+    output — the zero-copy ViT hot path (neither the q/k/v slices nor the
+    backward dq/dk/dv concatenation ever materialize on the Pallas path)."""
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "pallas":
+        from fedvit_tpu.ops.flash_attention import flash_attention_qkv
+        return flash_attention_qkv(qkv, num_heads)
+    b, n, e3 = qkv.shape
+    e = e3 // 3
+    return dot_product_attention_flat(qkv[..., :e], qkv[..., e:2 * e],
+                                      qkv[..., 2 * e:], num_heads, impl=impl)
+
+
 def windowed_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             bias: jnp.ndarray, mask: Optional[jnp.ndarray],
                             num_heads: int,

@@ -32,7 +32,10 @@ dBias across the window×batch grid dimensions inside the kernel (the bias
 block is revisited across consecutive grid steps, so the partial sum lives
 in VMEM). Any score scale (1/√d, or SwinV2's learned cosine scale) is
 folded into q by the caller, so scale gradients flow through XLA outside
-the kernel.
+the kernel. A 2-D variant reading window tiles straight off the feature
+map (no partition at all) was built and measured SLOWER end-to-end on
+SwinV2-L (48.0 vs 50.1 img/s — 18 of 24 blocks have nW == 1 where the
+partition is a free reshape), so the flat layout stays.
 
 Reference parity: this op implements the attention inside the reference's
 timm backbones (/root/reference/model.py:112-117).
@@ -72,7 +75,8 @@ _BATCHED_PTDO = (((1,), (1,)), ((0,), (0,)))  # (G,N,M)ᵀ·(G,N,D) → (G,M,D)
 
 
 def _head_probs(q_ref, k_ref, sl, scale):
-    s = jax.lax.dot_general(q_ref[:, :, sl], k_ref[:, :, sl], _BATCHED_QKT,
+    qsl, ksl = sl if isinstance(sl, tuple) else (sl, sl)
+    s = jax.lax.dot_general(q_ref[:, :, qsl], k_ref[:, :, ksl], _BATCHED_QKT,
                             preferred_element_type=jnp.float32) * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -115,6 +119,45 @@ def _flat_bwd_kernel(nheads, scale, q_ref, k_ref, v_ref, do_ref,
     dq_ref[:] = jnp.concatenate(dqs, axis=-1)
     dk_ref[:] = jnp.concatenate(dks, axis=-1)
     dv_ref[:] = jnp.concatenate(dvs, axis=-1)
+
+
+def _qkv_fwd_kernel(nheads, e, scale, qkv_ref, o_ref):
+    d = e // nheads
+    outs = []
+    for t in range(nheads):
+        p = _head_probs(qkv_ref, qkv_ref,
+                        (slice(t * d, (t + 1) * d),
+                         slice(e + t * d, e + (t + 1) * d)), scale)
+        o = jax.lax.dot_general(p.astype(qkv_ref.dtype),
+                                qkv_ref[:, :, 2 * e + t * d: 2 * e + (t + 1) * d],
+                                _BATCHED_PV, preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
+
+
+def _qkv_bwd_kernel(nheads, e, scale, qkv_ref, do_ref, dqkv_ref):
+    d = e // nheads
+    dqs, dks, dvs = [], [], []
+    for t in range(nheads):
+        qs = slice(t * d, (t + 1) * d)
+        ks = slice(e + t * d, e + (t + 1) * d)
+        vs = slice(2 * e + t * d, 2 * e + (t + 1) * d)
+        p = _head_probs(qkv_ref, qkv_ref, (qs, ks), scale)
+        do = do_ref[:, :, qs]
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, qkv_ref[:, :, vs], _BATCHED_QKT,
+                                 preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - row)).astype(do.dtype)
+        dq = jax.lax.dot_general(ds, qkv_ref[:, :, ks], _BATCHED_PV,
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qkv_ref[:, :, qs], _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq.astype(dqkv_ref.dtype))
+        dks.append(dk.astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    dqkv_ref[:] = jnp.concatenate(dqs + dks + dvs, axis=-1)
 
 
 def _flat_groups(b: int, n: int, e: int, itemsize: int):
@@ -201,6 +244,66 @@ def _flat_bwd_rule(num_heads, interpret, res, grad_out):
 flash_attention_flat.defvjp(_flat_fwd_rule, _flat_bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def flash_attention_qkv(qkv: jnp.ndarray, num_heads: int,
+                        interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused attention directly on the PACKED (B, N, 3E) QKV projection
+    output ([q | k | v] along lanes, heads head-major within each third).
+
+    Returns (B, N, E). Strictly cheaper than flash_attention_flat when the
+    caller holds the packed tensor: the three (B, N, E) q/k/v slices never
+    materialize (saves two full-tensor HBM passes per direction — the
+    forward slices and the backward dq/dk/dv concatenation; the backward
+    here writes the packed (B, N, 3E) cotangent in-kernel)."""
+    out, _ = _qkv_fwd_rule(qkv, num_heads, interpret)
+    return out
+
+
+def _qkv_fwd_rule(qkv, num_heads, interpret):
+    b, n, e3 = qkv.shape
+    assert e3 % (3 * num_heads) == 0
+    e = e3 // 3
+    scale = 1.0 / float(np.sqrt(e // num_heads))
+    g, _ = _flat_groups(b, n, e, qkv.dtype.itemsize)
+
+    out = pl.pallas_call(
+        functools.partial(_qkv_fwd_kernel, num_heads, e, scale),
+        grid=(b // g,),
+        in_specs=[_flat_spec(g, n, e3)],
+        out_specs=_flat_spec(g, n, e),
+        out_shape=jax.ShapeDtypeStruct((b, n, e), qkv.dtype),
+        interpret=_interpret_flag(interpret),
+    )(qkv)
+    return out, (qkv,)
+
+
+def _qkv_bwd_rule(num_heads, interpret, res, grad_out):
+    (qkv,) = res
+    b, n, e3 = qkv.shape
+    e = e3 // 3
+    scale = 1.0 / float(np.sqrt(e // num_heads))
+    _, g = _flat_groups(b, n, e, qkv.dtype.itemsize)
+
+    interp = _interpret_flag(interpret)
+    kwargs = {}
+    if not interp:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    dqkv = pl.pallas_call(
+        functools.partial(_qkv_bwd_kernel, num_heads, e, scale),
+        grid=(b // g,),
+        in_specs=[_flat_spec(g, n, e3), _flat_spec(g, n, e)],
+        out_specs=_flat_spec(g, n, e3),
+        out_shape=jax.ShapeDtypeStruct((b, n, e3), qkv.dtype),
+        interpret=interp,
+        **kwargs,
+    )(qkv, grad_out.astype(qkv.dtype))
+    return (dqkv,)
+
+
+flash_attention_qkv.defvjp(_qkv_fwd_rule, _qkv_bwd_rule)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fused attention for (B, N, H, D) operands → (B, N, H, D).
@@ -215,7 +318,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out = flash_attention_flat(q.reshape(b, n, h * d), k.reshape(b, n, h * d),
                                v.reshape(b, n, h * d), h, interpret)
     return out.reshape(b, n, h, d)
-
 
 # ---------------------------------------------------------------------------
 # Flat windowed biased attention (Swin hot path)

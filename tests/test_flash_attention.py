@@ -257,3 +257,26 @@ def test_flat_head_layout_is_head_major():
         np.testing.assert_allclose(np.asarray(out[..., sl]),
                                    np.asarray(ref_h.reshape(b, n, d)),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_qkv_packed_matches_flat():
+    """flash_attention_qkv on the packed tensor must equal the flat/XLA
+    paths for values and the packed-cotangent backward."""
+    from fedvit_tpu.ops.attention import attention_from_qkv
+    from fedvit_tpu.ops.flash_attention import flash_attention_qkv
+    b, n, e, h = 4, 50, 64, 2
+    rng = np.random.default_rng(61)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * e)), jnp.float32)
+
+    out_p = flash_attention_qkv(qkv, h, interpret=True)
+    out_x = attention_from_qkv(qkv, h, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(fn):
+        return jax.grad(lambda t: (fn(t).astype(jnp.float32) ** 2).sum())(qkv)
+
+    g_p = loss(lambda t: flash_attention_qkv(t, h, interpret=True))
+    g_x = loss(lambda t: attention_from_qkv(t, h, impl="xla"))
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=2e-4, atol=2e-4)
