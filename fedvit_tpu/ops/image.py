@@ -402,9 +402,14 @@ def train_transform(key: jax.Array, img: jnp.ndarray,
     if rotation > 0:
         angles = jax.random.uniform(k_rot, (b,), minval=-rotation,
                                     maxval=rotation)
-        img = rotate(img, angles, method="nearest")
         if mask is not None:
-            mask = rotate(mask, angles, method="nearest")
+            # one 4-channel rotate instead of two (img + mask share angles
+            # AND the nearest method, so packing channels is exact)
+            packed = rotate(jnp.concatenate([img, mask], axis=-1), angles,
+                            method="nearest")
+            img, mask = packed[..., :3], packed[..., 3:]
+        else:
+            img = rotate(img, angles, method="nearest")
 
     if any(x > 0 for x in cj):
         img = color_jitter(k_cj, img, *cj)

@@ -240,3 +240,37 @@ def test_tta_views(rgb):
     # hflip view == eval(hflip(img))
     ev_h, _ = I.eval_transform(I.hflip(sq), out_size=32)
     assert np.allclose(views[:, 1], ev_h, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas augmentation kernels vs their XLA reference formulations
+# ---------------------------------------------------------------------------
+
+def test_pallas_row_col_shift_match_xla():
+    import numpy as np
+    import jax.numpy as jnp
+    from fedvit_tpu.ops.row_shift import (row_shift, col_shift,
+                                          _row_shift_xla, _col_shift_xla)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(3, 16, 24, 3)), jnp.float32)
+    sh = jnp.asarray(rng.uniform(-20, 20, size=(3, 16)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(row_shift(img, sh, impl="pallas")),
+        np.asarray(_row_shift_xla(img, sh)))
+    sc = jnp.asarray(rng.uniform(-12, 12, size=(3, 24)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(col_shift(img, sc, impl="pallas")),
+        np.asarray(_col_shift_xla(img, sc)))
+
+
+def test_pallas_equalize_matches_xla():
+    import numpy as np
+    import jax.numpy as jnp
+    from fedvit_tpu.ops.randaugment import equalize, _equalize_xla
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(2, 24, 20, 3)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(equalize(img, impl="pallas")),
+                                  np.asarray(_equalize_xla(img)))
+    flat = jnp.full((2, 24, 20, 3), 0.5, jnp.float32)   # step==0 passthrough
+    np.testing.assert_array_equal(np.asarray(equalize(flat, impl="pallas")),
+                                  np.asarray(_equalize_xla(flat)))
