@@ -263,6 +263,13 @@ class FederatedConfig:
     # (False still applies the eval transform = resize/crop + normalization,
     # so clients NEVER train on unnormalized pixels)
     augment: bool = True
+    # keep the (uint8-canvas) training set resident in HBM and gather each
+    # round's client batches ON DEVICE from tiny host-sampled index arrays.
+    # The host-side assemble (numpy fancy-index + stack + H2D of ~100s of MB
+    # per round) otherwise bounds the round wall-time on slow hosts. Datasets
+    # above device_resident_mb fall back to the host assemble path.
+    device_resident_data: bool = True
+    device_resident_mb: int = 2048
 
 
 @dataclass(frozen=True)

@@ -31,6 +31,26 @@ from fedvit_tpu.train.losses import build_loss
 from fedvit_tpu.train.step import make_eval_step
 
 
+def sample_client_indices(labels_all: np.ndarray, part_idx: np.ndarray,
+                          local_steps: int, batch_size: int,
+                          rng: np.random.Generator,
+                          weighted: bool = True,
+                          num_classes: int = NUM_CLASSES) -> np.ndarray:
+    """Sample (local_steps, batch) GLOBAL dataset indices from one client's
+    partition, with replacement, optionally inverse-class-frequency
+    weighted."""
+    labels = labels_all[part_idx]
+    if weighted and len(labels):
+        counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
+        counts[counts == 0] = 1.0
+        w = (1.0 / counts)[labels]
+        p = w / w.sum()
+    else:
+        p = None
+    sel = rng.choice(len(part_idx), size=(local_steps, batch_size), p=p)
+    return part_idx[sel.reshape(-1)].reshape(local_steps, batch_size)
+
+
 def sample_client_batches(data: Dict[str, np.ndarray],
                           part_idx: np.ndarray,
                           local_steps: int, batch_size: int,
@@ -40,16 +60,9 @@ def sample_client_batches(data: Dict[str, np.ndarray],
                           num_classes: int = NUM_CLASSES) -> Dict[str, np.ndarray]:
     """Sample (local_steps, batch, ...) arrays from one client's partition,
     with replacement, optionally inverse-class-frequency weighted."""
-    labels = data["label"][part_idx]
-    if weighted and len(labels):
-        counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
-        counts[counts == 0] = 1.0
-        w = (1.0 / counts)[labels]
-        p = w / w.sum()
-    else:
-        p = None
-    sel = rng.choice(len(part_idx), size=(local_steps, batch_size), p=p)
-    flat = part_idx[sel.reshape(-1)]
+    flat = sample_client_indices(data["label"], part_idx, local_steps,
+                                 batch_size, rng, weighted,
+                                 num_classes).reshape(-1)
     return {k: data[k][flat].reshape((local_steps, batch_size)
                                      + data[k].shape[1:])
             for k in keys if k in data}
@@ -143,26 +156,70 @@ def train_federated(
         f"clients_per_round={cpr} must tile the mesh axis "
         f"({mesh.shape[fed.mesh_axis]})")
 
-    # --- host/device overlap: assemble round r+1 while r computes ----------
-    # One single-thread executor keeps the np RNG draws in submission order
-    # (determinism), and device_put inside the worker overlaps H2D with the
-    # round's compute (the reference gets this from DataLoader workers,
-    # data.py:466-473).
+    # --- batch assembly -----------------------------------------------------
+    # Device-resident fast path: the uint8-canvas training set lives in HBM
+    # (replicated) and each round's (clients, steps, batch, ...) tensors are
+    # gathered ON DEVICE from tiny host-sampled index arrays, with
+    # out_shardings producing the client-sharded layout directly. The host
+    # per round only draws indices (~KBs). Without it, numpy fancy-index +
+    # stack + H2D of the full round (~5-10 s on a 1-core host, vs ~1 s of
+    # device compute) bounds the round wall-time.
+    batch_keys = tuple(k for k in ("image", "label", "metadata")
+                       if k in train_data)
+    data_bytes = sum(train_data[k].nbytes for k in batch_keys)
+    resident = (fed.device_resident_data
+                and data_bytes <= fed.device_resident_mb * 1024 * 1024)
+    if resident:
+        data_dev = {k: jax.device_put(jnp.asarray(train_data[k]), rep)
+                    for k in batch_keys}
+
+        def batch_sharding(x):
+            if x.ndim >= 3 and data_ax is not None:
+                return NamedSharding(mesh, P(fed.mesh_axis, None, data_ax,
+                                             *([None] * (x.ndim - 3))))
+            return NamedSharding(mesh, P(fed.mesh_axis,
+                                         *([None] * (x.ndim - 1))))
+
+        def gather(data, idx):
+            # idx (clients, steps, batch) int32 → per-key round tensors
+            return {k: v[idx.reshape(-1)].reshape(idx.shape + v.shape[1:])
+                    for k, v in data.items()}
+
+        gather_fn = None   # jitted lazily (needs concrete shapes for shardings)
+
     def assemble():
+        nonlocal gather_fn
         if cpr < fed.num_clients:
             active = np.sort(rng.choice(fed.num_clients, cpr, replace=False))
         else:
             active = np.arange(fed.num_clients)
         w_round = weights[active]
         w_round = w_round / w_round.sum()
-        per_client = [
-            sample_client_batches(train_data, parts[c], local_steps, bs, rng,
-                                  weighted=cfg.training.use_weighted_sampler,
-                                  num_classes=cfg.num_classes)
-            for c in active
-        ]
-        stacked = stack_client_batches(per_client)
-        batches = {k: cl_batch(jnp.asarray(v)) for k, v in stacked.items()}
+        if resident:
+            idx = np.stack([
+                sample_client_indices(
+                    train_data["label"], parts[c], local_steps, bs, rng,
+                    weighted=cfg.training.use_weighted_sampler,
+                    num_classes=cfg.num_classes)
+                for c in active
+            ])                                   # (cpr, steps, bs) int32
+            if gather_fn is None:
+                shardings = {k: batch_sharding(
+                    np.empty(idx.shape + data_dev[k].shape[1:],
+                             data_dev[k].dtype))
+                    for k in batch_keys}
+                gather_fn = jax.jit(gather, out_shardings=shardings)
+            batches = gather_fn(data_dev, jnp.asarray(idx.astype(np.int32)))
+        else:
+            per_client = [
+                sample_client_batches(
+                    train_data, parts[c], local_steps, bs, rng,
+                    weighted=cfg.training.use_weighted_sampler,
+                    num_classes=cfg.num_classes)
+                for c in active
+            ]
+            stacked = stack_client_batches(per_client)
+            batches = {k: cl_batch(jnp.asarray(v)) for k, v in stacked.items()}
         return batches, cl(jnp.asarray(w_round))
 
     from concurrent.futures import ThreadPoolExecutor
