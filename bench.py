@@ -146,6 +146,9 @@ def main() -> None:
         "value": round(best[1], 2),
         "unit": "images/sec",
         "vs_baseline": round(best[1] / baseline, 2) if baseline else None,
+        "baseline": "reference-equivalent torch train step on this host's "
+                    "CPU (bench_baseline.py; the reference publishes no "
+                    "numbers and no GPU/MPS exists here — see BASELINE.md)",
         "batch_size": best[0],
         "mfu_pct": round(100 * mfu, 1),
         "donated": donate,
