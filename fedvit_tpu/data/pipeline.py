@@ -60,29 +60,45 @@ def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
     """Run `it` in a background thread, keeping up to `depth` items decoded
     ahead — overlaps host batch assembly with device compute (the reference
     gets this from DataLoader workers, data.py:466-473). Order-preserving;
-    producer exceptions re-raise at the consumer."""
+    producer exceptions re-raise at the consumer. Every queued item is a
+    uniform ("item"|"end"|"err", payload) tuple, and an abandoned consumer
+    (break / exception / GC-close of the generator) unblocks the producer via
+    a stop flag checked around each bounded put."""
     if depth <= 0:
         yield from it
         return
     q: queue.Queue = queue.Queue(maxsize=depth)
-    END, ERR = object(), object()
+    stop = threading.Event()
+
+    def _put(msg) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(msg, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for x in it:
-                q.put(x)
-            q.put(END)
+                if not _put(("item", x)):
+                    return
+            _put(("end", None))
         except BaseException as e:  # noqa: BLE001 — re-raised below
-            q.put((ERR, e))
+            _put(("err", e))
 
     threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is END:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
-            raise item[1]
-        yield item
+    try:
+        while True:
+            tag, payload = q.get()
+            if tag == "end":
+                return
+            if tag == "err":
+                raise payload
+            yield payload
+    finally:
+        stop.set()
 
 
 class _ByteLRU:
@@ -97,10 +113,20 @@ class _ByteLRU:
     def __contains__(self, k: int) -> bool:
         return k in self._d
 
-    def __getitem__(self, k: int) -> np.ndarray:
+    def get(self, k: int) -> Optional[np.ndarray]:
+        """Atomic lookup: returns the cached array or None — never raises on
+        a concurrent eviction (decode threads / batch self-eviction race)."""
         with self._lock:
-            self._d.move_to_end(k)
-            return self._d[k]
+            v = self._d.get(k)
+            if v is not None:
+                self._d.move_to_end(k)
+            return v
+
+    def __getitem__(self, k: int) -> np.ndarray:
+        v = self.get(k)
+        if v is None:
+            raise KeyError(k)
+        return v
 
     def __setitem__(self, k: int, v: np.ndarray) -> None:
         with self._lock:
@@ -148,8 +174,10 @@ class HostDataSource:
         return len(self.df)
 
     def _fetch_one(self, i: int) -> np.ndarray:
-        if self._cache is not None and i in self._cache:
-            return self._cache[i]
+        if self._cache is not None:
+            hit = self._cache.get(i)   # atomic under _ByteLRU's lock
+            if hit is not None:
+                return hit
         img = _load_image(self.df["image_path"].iloc[i], self.canvas)
         if self.mask_dir is not None:
             m = _load_mask(self.mask_dir / f"{self.df['image'].iloc[i]}.png",
@@ -166,8 +194,13 @@ class HostDataSource:
         honoring the RAM cache; falls back per-image to PIL on decode
         failure."""
         from fedvit_tpu.data import native_loader as nl
-        todo = [i for i in idx.tolist()
-                if self._cache is None or i not in self._cache]
+        local: Dict[int, np.ndarray] = {}
+        if self._cache is not None:
+            for i in idx.tolist():
+                hit = self._cache.get(i)
+                if hit is not None:
+                    local[i] = hit
+        todo = [i for i in idx.tolist() if i not in local]
         if todo:
             paths = [self.df["image_path"].iloc[i] for i in todo]
             imgs, ok = nl.decode_jpeg_batch(paths, self.canvas, self.workers)
@@ -179,14 +212,13 @@ class HostDataSource:
                 imgs = np.concatenate([imgs, masks], axis=-1)
             for j, i in enumerate(todo):
                 img = imgs[j] if ok[j] else self._fetch_one(i)
+                local[i] = img
                 if self._cache is not None:
+                    # write-through only: the batch is served from `local`,
+                    # so a budget-full LRU evicting this (or an earlier)
+                    # insert cannot break the in-flight batch
                     self._cache[i] = img
-                elif not ok[j]:
-                    imgs[j] = img
-            if self._cache is None:
-                return list(imgs)
-        return [self._cache[i] if self._cache is not None else None
-                for i in idx.tolist()]
+        return [local[i] for i in idx.tolist()]
 
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         """Fetch a batch: {"image" (B,canvas,canvas,3|4) uint8, "label",

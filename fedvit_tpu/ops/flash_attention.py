@@ -440,6 +440,15 @@ def _wflat_dims(q, bias, mask, num_heads):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_attention_bias_flat(q: jnp.ndarray, k: jnp.ndarray,
+                               v: jnp.ndarray, bias: jnp.ndarray,
+                               mask: jnp.ndarray, num_heads: int,
+                               interpret: Optional[bool] = None
+                               ) -> jnp.ndarray:
+    out, _ = _wflat_fwd_rule(q, k, v, bias, mask, num_heads, interpret)
+    return out
+
+
 def flash_attention_bias_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                               bias: jnp.ndarray, mask: jnp.ndarray,
                               num_heads: int,
@@ -448,9 +457,13 @@ def flash_attention_bias_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q, k, v: (W0·B, N, E) window-major flat; bias (H, N, N) differentiable;
     mask (W0, N, N) static additive. Caller folds any score scale into q.
-    """
-    out, _ = _wflat_fwd_rule(q, k, v, bias, mask, num_heads, interpret)
-    return out
+
+    `mask` is structurally non-differentiable (stop_gradient applied here):
+    the kernel's backward does not compute a mask cotangent, so a learned /
+    traced mask must not silently receive zeros."""
+    return _flash_attention_bias_flat(q, k, v, bias,
+                                      jax.lax.stop_gradient(mask),
+                                      num_heads, interpret)
 
 
 def _wflat_specs(g, n, e, hb, d, w0, b, h):
@@ -519,4 +532,4 @@ def _wflat_fwd_rule_vjp(q, k, v, bias, mask, num_heads, interpret):
     return out, (q, k, v, bias, mask)
 
 
-flash_attention_bias_flat.defvjp(_wflat_fwd_rule_vjp, _make_wflat_bwd())
+_flash_attention_bias_flat.defvjp(_wflat_fwd_rule_vjp, _make_wflat_bwd())

@@ -203,3 +203,75 @@ def test_pipeline_mask_png_packing(isic_tree, tmp_path):
     batch = src.gather(np.arange(3))
     assert batch["image"].shape[-1] == 4
     assert batch["image"][..., 3].max() == 255
+
+
+def test_bytelru_eviction_never_breaks_inflight_batch():
+    # Regression (ADVICE r2): a budget-full LRU whose own batch inserts evict
+    # earlier members must not KeyError when the batch is assembled — gather
+    # serves from a local dict, cache is write-through only.
+    from fedvit_tpu.data.pipeline import _ByteLRU
+
+    item = np.zeros((16, 16, 3), np.uint8)   # 768 bytes
+    lru = _ByteLRU(budget_bytes=2 * item.nbytes + 1)   # holds ~2 items
+    for k in range(6):
+        lru[k] = item.copy()
+    # atomic get: evicted keys return None, live keys return the array
+    assert lru.get(0) is None
+    assert lru.get(5) is not None
+    with pytest.raises(KeyError):
+        _ = lru[0]
+
+
+def test_bytelru_tiny_budget_in_gather(isic_tree):
+    # End-to-end: cache budget smaller than one batch — every gather both
+    # inserts and evicts; the batch must still come back complete.
+    train_df, _ = load_isic_data(str(isic_tree), log=lambda s: None)
+    cfg = from_dict({
+        "data": {"cache_gb": 1e-7},   # ~107 bytes: evicts constantly
+        "model": {"backbone": "vit_tiny_patch16_224", "image_size": 32,
+                  "compute_dtype": "float32"},
+        "training": {"num_workers": 2},
+    })
+    src = HostDataSource(train_df, cfg)
+    for _ in range(3):
+        batch = src.gather(np.arange(len(train_df)))
+        assert batch["image"].shape[0] == len(train_df)
+
+
+def test_prefetch_iterator_abandon_unblocks_producer():
+    # Regression (ADVICE r2): breaking out of a prefetched loop must not leave
+    # the producer blocked on a full queue forever.
+    import threading
+    import time
+
+    from fedvit_tpu.data.pipeline import prefetch_iterator
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = prefetch_iterator(gen(), depth=2)
+    assert next(it) == 0
+    it.close()   # consumer abandons
+    time.sleep(0.5)
+    n_after_close = len(produced)
+    time.sleep(0.5)
+    # producer stopped: no unbounded production after close
+    assert len(produced) == n_after_close
+    assert n_after_close < 1000
+
+
+def test_prefetch_iterator_error_propagates():
+    from fedvit_tpu.data.pipeline import prefetch_iterator
+
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch_iterator(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        list(it)
