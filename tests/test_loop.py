@@ -90,6 +90,11 @@ def test_run_experiment_ensemble(tmp_path, sources):
     assert len(res["fold_logits"]) == 2
     assert res["ensemble_logits"].shape == (33, 8)
     assert "ensemble_metrics" in res
+    # AUROC (north-star metric) must appear at every reporting level:
+    # ensemble, per-fold test, and the mean±std aggregate (VERDICT r2 #2)
+    assert "auroc" in res["ensemble_metrics"]
+    assert all("auroc" in m for m in res["fold_metrics"])
+    assert "auroc" in res["aggregate"]
 
 
 def test_named_views_tta(tmp_path, sources):
