@@ -28,6 +28,12 @@ def main(argv=None) -> int:
                         help="train on N synthetic samples instead of ISIC")
     parser.add_argument("--log", type=str, default="logs_fed")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the last federated checkpoint "
+                             "in <log>/ckpt (bit-identical trajectory)")
+    parser.add_argument("--checkpoint-every", type=int, default=1,
+                        help="save federated server state every N rounds "
+                             "(0 disables checkpointing)")
     args = parser.parse_args(argv)
 
     from fedvit_tpu.utils.jaxcache import enable_compilation_cache
@@ -92,7 +98,11 @@ def main(argv=None) -> int:
     meta = jnp.zeros((2, cfg.model.metadata.input_dim))
     variables = model.init({"params": rng, "dropout": rng}, x, meta)
 
-    result = train_federated(cfg, model, variables, train_data, eval_data)
+    workdir = (os.path.join(args.log, "ckpt")
+               if args.checkpoint_every > 0 else None)
+    result = train_federated(cfg, model, variables, train_data, eval_data,
+                             workdir=workdir, resume=args.resume,
+                             checkpoint_every=max(1, args.checkpoint_every))
 
     hist_path = os.path.join(args.log, "federated_history.json")
     with open(hist_path, "w") as f:

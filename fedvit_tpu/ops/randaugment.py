@@ -273,7 +273,6 @@ def equalize(img, _=None, impl=None):
         on_tpu = False
     b, h, w, c = img.shape
     bc = b * c
-    g = max(d for d in (8, 4, 2, 1) if bc % d == 0)
     if impl is None:
         impl = "pallas" if on_tpu else "xla"
     if impl == "xla":
@@ -285,23 +284,34 @@ def equalize(img, _=None, impl=None):
     p = h * w
     v = jnp.clip(jnp.floor(img * 255.0), 0, 255).astype(jnp.int32)
     v = v.transpose(0, 3, 1, 2).reshape(bc, p)
+    # Mosaic requires the sublane block to be a multiple of 8 or the full
+    # dim — pad the (sample, channel) row axis up to ×8 (e.g. bc=12 at
+    # batch 4 RGB) and slice the pad back off; padded rows cost one extra
+    # grid step at most and their outputs are discarded.
+    g = 8
+    bc_pad = -bc % g
+    if bc_pad:
+        v = jnp.concatenate(
+            [v, jnp.zeros((bc_pad, p), jnp.int32)], axis=0)
+    bcp = bc + bc_pad
     out, step = pl.pallas_call(
         lambda v_ref, o_ref, s_ref: _eq_kernel(p, 8192, v_ref, o_ref, s_ref),
-        grid=(bc // g,),
+        grid=(bcp // g,),
         in_specs=[pl.BlockSpec((g, p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((g, p), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((g, 1), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((bc, p), jnp.float32),
-                   jax.ShapeDtypeStruct((bc, 1), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((bcp, p), jnp.float32),
+                   jax.ShapeDtypeStruct((bcp, 1), jnp.float32)],
         interpret=not on_tpu,
         **({} if not on_tpu else
            {"compiler_params": pltpu.CompilerParams(
                vmem_limit_bytes=64 * 1024 * 1024)}),
     )(v)
-    out = out.reshape(b, c, h, w).transpose(0, 2, 3, 1) / 255.0
+    out = out[:bc].reshape(b, c, h, w).transpose(0, 2, 3, 1) / 255.0
+    step = step[:bc]
     passthrough = (step.reshape(b, c) == 0)[:, None, None, :]
     return jnp.where(passthrough, img, out.astype(img.dtype))
 

@@ -82,3 +82,70 @@ def load_checkpoint(path: str, state) -> Dict[str, Any]:
 def checkpoint_exists(path: str) -> bool:
     p = Path(path)
     return (p / "meta.json").exists() and (p / "state").exists()
+
+
+# --- federated server state (SURVEY §5 "per-round federated server state") --
+#
+# A federated run's full restart surface is {params, batch_stats, EMA shadow,
+# jax round key, host numpy RNG state, round number, history}. Saving the two
+# RNGs makes resume BIT-IDENTICAL: client sampling (numpy) and local-step
+# dropout/augment keys (jax) continue exactly where the dead run stopped.
+# (Reference checkpoint surface: utils.py:287-308 — epoch trainer only; the
+# reference has no federated persistence at all.)
+
+def save_federated_checkpoint(path: str, params, batch_stats, ema_params,
+                              rnd: int, history, np_rng_state: Dict,
+                              key, cfg: Optional[Config] = None) -> None:
+    """Persist per-round federated server state to `path` (a directory)."""
+    path = Path(path).absolute()
+    tree = {
+        "params": params,
+        "batch_stats": batch_stats,
+        "key": jax.random.key_data(key),
+    }
+    if ema_params is not None:
+        tree["ema_params"] = ema_params
+    ocp.PyTreeCheckpointer().save(path / "fed_state", tree, force=True)
+    meta = {
+        "round": int(rnd),
+        "history": history,
+        "np_rng_state": np_rng_state,   # PCG64 state dict — plain ints
+        "config": to_dict(cfg) if cfg is not None else None,
+    }
+    (path / "fed_meta.json").write_text(json.dumps(meta, indent=2,
+                                                   default=str))
+
+
+def load_federated_checkpoint(path: str, params, batch_stats,
+                              ema_params) -> Dict[str, Any]:
+    """Restore federated server state into the given template structures.
+
+    Returns {"params", "batch_stats", "ema_params", "key", "round",
+    "history", "np_rng_state", "config"}."""
+    path = Path(path).absolute()
+    target = {
+        "params": jax.tree.map(np.asarray, params),
+        "batch_stats": jax.tree.map(np.asarray, batch_stats),
+        "key": np.zeros((2,), np.uint32),
+    }
+    if ema_params is not None:
+        target["ema_params"] = jax.tree.map(np.asarray, ema_params)
+    restored = ocp.PyTreeCheckpointer().restore(path / "fed_state",
+                                                item=target)
+    meta = json.loads((path / "fed_meta.json").read_text())
+    return {
+        "params": restored["params"],
+        "batch_stats": restored["batch_stats"],
+        "ema_params": restored.get("ema_params"),
+        "key": jax.random.wrap_key_data(
+            jax.numpy.asarray(restored["key"])),
+        "round": int(meta["round"]),
+        "history": meta["history"],
+        "np_rng_state": meta["np_rng_state"],
+        "config": meta.get("config"),
+    }
+
+
+def federated_checkpoint_exists(path: str) -> bool:
+    p = Path(path)
+    return (p / "fed_meta.json").exists() and (p / "fed_state").exists()

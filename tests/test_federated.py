@@ -202,3 +202,59 @@ def test_partial_participation():
                              mesh=client_mesh(), log_fn=logs.append)
     assert len(result.history) == 3
     assert all(np.isfinite(h["loss"]) for h in result.history)
+
+
+def test_federated_checkpoint_resume_bit_identical(tmp_path):
+    """SURVEY §5 'per-round federated server state' (VERDICT r2 missing #1):
+    run 8 rounds uninterrupted; run 4 rounds checkpointing, rebuild from
+    scratch, resume to 8 — the loss trajectory must continue IDENTICALLY
+    (host sampling RNG + jax round keys are part of the checkpoint)."""
+    import jax.numpy as jnp
+
+    def build():
+        cfg = fed_cfg(num_clients=8, rounds=8)
+        model = build_model(cfg)
+        rng = jax.random.key(0)
+        variables = model.init({"params": rng, "dropout": rng},
+                               jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 13)))
+        return cfg, model, variables
+
+    data = make_synthetic_dataset(n=256, image_size=32, seed=0, noise=0.15)
+    eval_data = {k: v[:32] for k, v in data.items()}
+    train_data = {k: v[32:] for k, v in data.items()}
+    import dataclasses
+
+    # uninterrupted 8-round run (no checkpointing)
+    cfg, model, variables = build()
+    full = train_federated(cfg, model, variables, train_data,
+                           eval_data=eval_data, mesh=client_mesh(),
+                           log_fn=lambda s: None, eval_batch_size=16)
+
+    # 4 rounds with checkpointing…
+    cfg, model, variables = build()
+    cfg4 = cfg.replace(federated=dataclasses.replace(cfg.federated, rounds=4))
+    wd = str(tmp_path / "fedckpt")
+    train_federated(cfg4, model, variables, train_data, eval_data=eval_data,
+                    mesh=client_mesh(), log_fn=lambda s: None,
+                    eval_batch_size=16, workdir=wd)
+
+    # …then a FRESH process-equivalent resume to 8
+    cfg, model, variables = build()
+    resumed = train_federated(cfg, model, variables, train_data,
+                              eval_data=eval_data, mesh=client_mesh(),
+                              log_fn=lambda s: None, eval_batch_size=16,
+                              workdir=wd, resume=True)
+
+    assert len(resumed.history) == 8
+    full_losses = [h["loss"] for h in full.history]
+    res_losses = [h["loss"] for h in resumed.history]
+    np.testing.assert_allclose(res_losses, full_losses, rtol=1e-5,
+                               err_msg="resumed trajectory diverged")
+    full_acc = [h["accuracy"] for h in full.history]
+    res_acc = [h["accuracy"] for h in resumed.history]
+    np.testing.assert_allclose(res_acc, full_acc, rtol=1e-5)
+    # final params identical too
+    for a, b in zip(jax.tree.leaves(full.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
