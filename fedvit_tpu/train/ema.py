@@ -17,8 +17,13 @@ import jax
 
 
 def ema_init(params: Any) -> Any:
-    """Clone params as the initial shadow (reference utils.py:71-74)."""
-    return jax.tree.map(lambda p: p, params)
+    """Clone params as the initial shadow (reference utils.py:71-74).
+
+    A REAL copy, not an aliased tree: with buffer donation on the train
+    step (step.default_donate), params and shadow sharing buffers would
+    donate the same buffer twice and abort the first step."""
+    return jax.tree.map(lambda p: p.copy() if hasattr(p, "copy") else p,
+                        params)
 
 
 def ema_update(shadow: Any, params: Any, decay: float) -> Any:

@@ -223,7 +223,9 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
 
     augment_train = jax.jit(make_device_augment(cfg, train=True))
     augment_eval = jax.jit(make_device_augment(cfg, train=False))
-    train_step = make_train_step(cfg, loss_fn, donate=False)
+    # state is strictly threaded through the epoch loop, so donation (auto:
+    # on everywhere but the axon tunnel — step.default_donate) is safe here
+    train_step = make_train_step(cfg, loss_fn)
     # validation uses the training criterion (reference validate train.py:199)
     eval_step = make_eval_step(model.apply, cfg, loss_fn)
 
@@ -247,10 +249,14 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
     # ---- two-stage: head-only warm start (old-gen train_old.py:433-498) ---
     if t.two_stage.enabled and start_epoch == 1:
         head_tx = build_head_optimizer(cfg, state.params, t.two_stage.stage1_lr)
-        head_state = TrainState.create(model.apply, state.params,
-                                       state.batch_stats, head_tx,
-                                       state.rng, ema_enabled=False)
-        head_step = make_train_step(cfg, loss_fn, donate=False)
+        # head_state must not ALIAS state's buffers: head_step donates its
+        # input, and `state` is still live across stage 1 (its rng/opt_state
+        # are carried into stage 2)
+        head_state = TrainState.create(
+            model.apply, jax.tree.map(jnp.array, state.params),
+            jax.tree.map(jnp.array, state.batch_stats), head_tx,
+            jax.random.clone(state.rng), ema_enabled=False)
+        head_step = make_train_step(cfg, loss_fn)
         rng_np = np.random.default_rng(cfg.seed + 100 + fold)
         for ep in range(1, t.two_stage.stage1_epochs + 1):
             losses = []

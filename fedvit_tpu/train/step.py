@@ -30,15 +30,34 @@ from fedvit_tpu.train.mixup import mixup, mixup_cutmix
 from fedvit_tpu.train.state import TrainState
 
 
+def default_donate() -> bool:
+    """Whether the train step should donate its input state by default.
+
+    Donation aliases the old state's buffers into the new state, halving
+    peak param/opt-state HBM — ON by default. The experimental axon
+    tunnel used to reject donated multi-step execution (and poison the
+    process afterwards), but it registers as backend "tpu" and donation
+    now runs clean through it (round-3 bench: full 4-candidate donated
+    sweep, bs=256 newly fits). The "axon" backend-name guard stays as
+    belt-and-braces for a build that does register under that name;
+    FEDVIT_DONATE=1/0 overrides in either direction (kill switch)."""
+    import os
+
+    env = os.environ.get("FEDVIT_DONATE")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "axon"
+
+
 def make_train_step(cfg: Config, loss_fn: LossFn,
-                    donate: bool = False) -> Callable:
+                    donate: Optional[bool] = None) -> Callable:
     """Build the jitted train step for a config.
 
-    donate=True aliases the old state's buffers into the new state (halves
-    peak param/opt-state HBM). It is OFF by default because the axon TPU
-    tunnel backend rejects donated multi-step execution with
-    INVALID_ARGUMENT (verified empirically); enable on standard TPU
-    runtimes."""
+    donate=None resolves via `default_donate()` (donate everywhere except
+    the axon tunnel backend). Callers that retain and reuse an OLD state
+    object after stepping must pass donate=False explicitly."""
+    if donate is None:
+        donate = default_donate()
     t = cfg.training
     aug = cfg.augmentation
     accum = max(1, t.gradient_accumulation_steps)

@@ -175,6 +175,52 @@ def test_train_step_runs_and_learns(setup):
     assert acc > 0.25, f"accuracy {acc} not above chance"
 
 
+def test_train_step_donated_path_matches(setup):
+    """Buffer donation (default-on off-axon, step.default_donate) must
+    produce the identical trajectory as the non-donated step — and the
+    donated path must actually run, so it can't rot while benches stay on
+    axon (VERDICT r2 weak #4)."""
+    cfg, model, variables = setup
+    data = make_synthetic_dataset(n=32, image_size=32, seed=3)
+    loss_fn = build_loss(cfg)
+    tx, _ = build_optimizer(cfg, variables["params"], steps_per_epoch=2)
+
+    def run(donate):
+        # donation CONSUMES the state's buffers — each run needs its own
+        # copy or the first donated step would delete the shared fixture's
+        # params out from under every later test
+        state = TrainState.create(
+            model.apply, jax.tree.map(jnp.array, variables["params"]),
+            jax.tree.map(jnp.array, variables["batch_stats"]), tx,
+            jax.random.key(4), ema_enabled=True)
+        step = make_train_step(cfg, loss_fn, donate=donate)
+        it = batch_iterator(data, 16, seed=3)
+        losses = []
+        for _ in range(3):
+            batch = {k: jnp.array(v) for k, v in next(it).items()}
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        return losses, state
+
+    losses_d, state_d = run(True)
+    losses_n, state_n = run(False)
+    np.testing.assert_allclose(losses_d, losses_n, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_d.params),
+                    jax.tree.leaves(state_n.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_default_donate_env_override(monkeypatch):
+    from fedvit_tpu.train.step import default_donate
+    monkeypatch.setenv("FEDVIT_DONATE", "1")
+    assert default_donate() is True
+    monkeypatch.setenv("FEDVIT_DONATE", "0")
+    assert default_donate() is False
+    monkeypatch.delenv("FEDVIT_DONATE")
+    # auto: donate everywhere except the axon tunnel backend
+    assert default_donate() is (jax.default_backend() != "axon")
+
+
 def test_train_step_with_mixup(setup):
     cfg, model, variables = setup
     cfg_mix = tiny_cfg(augmentation={
