@@ -51,6 +51,44 @@ def data_mesh(num_devices: Optional[int] = None) -> Mesh:
     return make_mesh([len(devs)], ["data"], devs)
 
 
+def hybrid_mesh(slices: int, per_slice: int,
+                axis_names: Sequence[str] = ("client", "data"),
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """2-D hybrid mesh for multi-slice scale-out (SURVEY §2.3/§7).
+
+    Outer axis ("client" by default) spans SLICES — traffic on it crosses
+    DCN — while the inner axis ("data") stays within a slice, riding ICI.
+    FedAvg maps onto this naturally: the once-per-round weighted psum of
+    client deltas is the only collective that pays DCN latency, while the
+    per-step gradient pmean inside every client stays on ICI.
+
+    On a real multi-slice pod the grouping uses each device's
+    ``slice_index`` (jax.experimental.mesh_utils.create_hybrid_device_mesh
+    semantics) so the physical layout matches the logical one. On
+    single-slice or CPU hosts there is no slice topology; device order
+    stands in for it — the mesh SHAPE (and therefore every sharding and
+    compiled collective) is identical, only the physical locality differs.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    need = slices * per_slice
+    assert need <= len(devices), (
+        f"hybrid mesh {slices}x{per_slice} needs {need} devices, "
+        f"have {len(devices)}")
+    devices = devices[:need]
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if len(slice_ids) > 1 and None not in slice_ids:
+        from jax.experimental import mesh_utils
+        # per-axis shape = mesh_shape[i] * dcn_mesh_shape[i]:
+        # (1, per_slice) x (slices, 1) -> (slices, per_slice), with the
+        # outer axis the only one crossing slice (DCN) boundaries.
+        arr = np.asarray(mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (slices, 1), devices=devices))
+        arr = arr.reshape(slices, per_slice)
+    else:
+        arr = np.array(devices).reshape(slices, per_slice)
+    return Mesh(arr, tuple(axis_names))
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a host batch onto the mesh, sharded along its leading dim."""
     def put(x):

@@ -154,6 +154,95 @@ def test_fedavg_matches_single_device_semantics():
     assert abs(float(m8["loss"]) - float(m1["loss"])) < 1e-3
 
 
+def test_hybrid_mesh_round_matches_client_only_mesh():
+    """Multi-slice story (SURVEY §2.3): hybrid_mesh puts clients on the
+    outer (DCN "slice") axis and data-parallel shards on the inner ICI
+    axis. The collective layout must not change the math — a FedAvg round
+    on the 2-slice x 4-chip hybrid mesh must agree with the same round on
+    a plain 2-client mesh with unsharded local batches."""
+    from fedvit_tpu.fed.fedavg import make_federated_round
+    from fedvit_tpu.parallel.mesh import hybrid_mesh
+    from fedvit_tpu.train.losses import build_loss
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    hmesh = hybrid_mesh(2, 4)
+    assert hmesh.devices.shape == (2, 4)
+    assert hmesh.axis_names == ("client", "data")
+    # CPU/single-slice fallback: device order stands in for slice grouping
+    assert list(hmesh.devices.flat) == jax.devices()[:8]
+
+    # dropout + train-time augmentation draw per-SAMPLE randomness from a
+    # per-SHARD key, and the metadata branch's BatchNorm normalizes with
+    # per-shard batch statistics (non-sync-BN DDP semantics, by design) —
+    # so sharded vs unsharded only agree with all three off. What this
+    # test pins down is that the collective layout itself (pmean over
+    # "data" inside each local step) does not change the math.
+    cfg = fed_cfg(num_clients=2, rounds=1,
+                  metadata={"enabled": False},
+                  classifier={"dropout": 0.0})
+    import dataclasses
+    cfg = cfg.replace(
+        federated=dataclasses.replace(cfg.federated, augment=False))
+    model = build_model(cfg)
+    rng = jax.random.key(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 13)))
+    data = make_synthetic_dataset(n=128, image_size=32, seed=0)
+    parts = partition("iid", data["label"], 2, seed=3)
+    w = client_weights(parts)
+    host_rng = np.random.default_rng(0)
+    # ONE local step: the round's mean loss is then the pre-update forward
+    # loss, which the sharded and unsharded programs must agree on tightly
+    # (with >1 steps, later losses sit downstream of Adam's O(lr)
+    # amplification of reduction-order noise and can differ by ~1e-2)
+    per_client = [sample_client_batches(data, parts[c], 1, 8, host_rng)
+                  for c in range(2)]
+    stacked = {k: jnp.asarray(np.stack([pc[k] for pc in per_client]))
+               for k in per_client[0]}
+    loss_fn = build_loss(cfg)
+    key = jax.random.key(7)
+
+    def shard_for(mesh):
+        return {
+            k: jax.device_put(v, NamedSharding(
+                mesh, P("client", None, "data",
+                        *([None] * (v.ndim - 3))) if v.ndim >= 3
+                else P("client")))
+            for k, v in stacked.items()}
+
+    round_h = make_federated_round(cfg, model.apply, loss_fn, hmesh)
+    ph, _, mh = round_h(variables["params"], variables.get("batch_stats", {}),
+                        shard_for(hmesh), jnp.asarray(w), key)
+
+    # (a) same logical 2-D mesh built directly — must be bit-identical
+    # (hybrid_mesh only changes which physical device sits where)
+    mesh_2d = make_mesh([2, 4], ["client", "data"], jax.devices()[:8])
+    round_2d = make_federated_round(cfg, model.apply, loss_fn, mesh_2d)
+    p2, _, m2 = round_2d(variables["params"], variables.get("batch_stats", {}),
+                         shard_for(mesh_2d), jnp.asarray(w), key)
+    for a, b in zip(jax.tree.leaves(ph), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) vs a plain 2-client mesh with unsharded local batches. The
+    # pre-update forward loss must agree tightly (a sum-vs-mean bug in the
+    # "data"-axis pmean would show up as a ~4x mismatch here); params only
+    # loosely — Adam's first steps amplify reduction-order float noise to
+    # O(lr) sign flips, so exact param equality across different reduction
+    # orders is not a meaningful contract.
+    mesh_c = make_mesh([2], ["client"], jax.devices()[:2])
+    round_c = make_federated_round(cfg, model.apply, loss_fn, mesh_c)
+    pc, _, mc = round_c(variables["params"], variables.get("batch_stats", {}),
+                        stacked, jnp.asarray(w), key)
+    assert abs(float(mh["loss"]) - float(mc["loss"])) < 1e-4 * (
+        1 + abs(float(mc["loss"])))
+    lr = cfg.training.optimizer.lr
+    steps = stacked["image"].shape[1]
+    for a, b in zip(jax.tree.leaves(ph), jax.tree.leaves(pc)):
+        diff = np.max(np.abs(np.asarray(a) - np.asarray(b)))
+        assert diff <= 3 * lr * steps, f"param divergence {diff} > 3*lr*steps"
+
+
 def test_fedavg_eval_pipeline_and_learning():
     """Regression for the round-1 eval bug: per-round eval must route inputs
     through make_device_augment(train=False) (eval geometry + normalization),
