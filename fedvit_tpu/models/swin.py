@@ -95,24 +95,43 @@ def relative_position_index(window: int) -> np.ndarray:
 
 
 def expand_bias_table(table: jnp.ndarray, window: int) -> jnp.ndarray:
-    """(2w−1, 2w−1, H) bias table → (w², w², H) per-pair bias.
+    """(2w−1, 2w−1, H) bias table → (H, w², w²) per-pair bias.
 
     Equivalent to `table.reshape(-1, H)[relative_position_index(w)]` but
-    expressed as static Toeplitz slices + stacks instead of a 331k-row
-    gather: on TPU the gather costs ~0.8 ms fwd and its VJP is a ~2 ms
-    scatter-add PER BLOCK (measured: 49 ms/step of scatter-add alone on
-    SwinV2-L@384), while slice/stack VJPs are cheap pads + adds. The
-    relative-position structure is separable: bias[(yi,xi),(yj,xj)] =
-    table[yi−yj+w−1, xi−xj+w−1]."""
+    built from the block-Toeplitz structure with STATIC SLICES ONLY — no
+    gather (whose VJP is a ~2 ms scatter-add per block; 49 ms/step
+    measured on SwinV2-L@384) and no large transpose (the previous
+    stack-based expansion permuted a (w,w,w,w,H) f32 intermediate —
+    ~32 MB moved at ~109 GiB/s per stage-3 block, ~25 ms/step of pure
+    data formatting in the round-2 trace).
+
+    Structure: bias[h, (yi,xi), (yj,xj)] = table[yi−yj+w−1, xi−xj+w−1, h].
+    As a (w×w)-block matrix over (yi, yj), block (yi, yj) depends only on
+    yi−yj — block-Toeplitz with 2w−1 distinct (w, w) blocks. With the
+    delta axis REVERSED, the blocks a row-block yi needs are the
+    contiguous slice [w−1−yi : 2w−1−yi], so laying the reversed blocks
+    out along one flat (2w−1)·w axis makes every row-block of the final
+    bias a single static lane-slice of width w² — each slice already in
+    the kernel's (row-major (yi,xi), (yj,xj)) layout, so the stack writes
+    the (H, w², w²) output directly with zero relayout."""
     w = window
     h = table.shape[-1]
-    # U[yi, yj, dx, h] = table[yi−yj+w−1, dx, h]
-    u = jnp.stack([table[w - 1 - j: 2 * w - 1 - j] for j in range(w)],
-                  axis=1)                                  # (w, w, 2w−1, H)
-    # V[yi, yj, xi, xj, h] = U[yi, yj, xi−xj+w−1, h]
-    v = jnp.stack([u[:, :, w - 1 - j: 2 * w - 1 - j, :] for j in range(w)],
-                  axis=3)                                  # (w, w, w, w, H)
-    return v.transpose(0, 2, 1, 3, 4).reshape(w * w, w * w, h)
+    # inner Toeplitz (x-delta): M[a, xi, xj, h] = table[a, xi−xj+w−1, h]
+    # via the same reversed-slice trick one level down (small: (2w−1)·w²·H)
+    trev = table[:, ::-1]                                  # b'' = 2w−2−b
+    m = jnp.stack([trev[:, w - 1 - xi: 2 * w - 1 - xi] for xi in range(w)],
+                  axis=1)                                  # (2w−1, w, w, H)
+    # lay out as (H, w=xi, (2w−1)·w) with the y-delta axis REVERSED so row
+    # slices below are contiguous: Mflat[h, xi, a''·w + xj] with a'' = 2w−2−a
+    m = m[::-1].transpose(3, 1, 0, 2)                      # (H, w, 2w−1, w)
+    mflat = m.reshape(h, w, (2 * w - 1) * w)
+    # outer Toeplitz (y-delta): row-block yi = lane slice starting at
+    # (w−1−yi)·w, width w² — already (xi, xj·...) row-major
+    rows = jnp.stack(
+        [jax.lax.slice_in_dim(mflat, (w - 1 - yi) * w,
+                              (w - 1 - yi) * w + w * w, axis=2)
+         for yi in range(w)], axis=1)                      # (H, w, w, w²)
+    return rows.reshape(h, w * w, w * w)
 
 
 def shift_attention_mask(h: int, w: int, window: int, shift: int
@@ -201,7 +220,7 @@ class WindowAttentionV2(nn.Module):
         cpb = nn.Dense(h, use_bias=False, dtype=jnp.float32,
                        name="cpb_fc2")(cpb)                  # (1,2w-1,2w-1,H)
         cpb = 16.0 * jax.nn.sigmoid(cpb[0])                  # (2w-1,2w-1,H)
-        bias = expand_bias_table(cpb, self.window).transpose(2, 0, 1)
+        bias = expand_bias_table(cpb, self.window)       # (H, w², w²)
 
         out = windowed_attention_flat(
             qn, kn, v, bias,

@@ -170,6 +170,6 @@ def test_expand_bias_table_matches_gather():
                             jnp.float32)
         idx = relative_position_index(w)
         ref = np.asarray(table.reshape(-1, h))[idx.reshape(-1)].reshape(
-            w * w, w * w, h)
+            w * w, w * w, h).transpose(2, 0, 1)          # (H, w², w²)
         out = np.asarray(expand_bias_table(table, w))
         np.testing.assert_allclose(out, ref, rtol=0, atol=0)
