@@ -123,8 +123,14 @@ class _ShimViT(nn.Module):
 # cpb_mlp (2→512→heads, ReLU, no bias on fc2) over the log-CPB table,
 # 16·sigmoid bias, post-norm blocks, PatchMerging at the START of stages 1..3
 # with (h_off, w_off) chunk order [(0,0),(1,0),(0,1),(1,1)], window clamped to
-# the stage resolution. The geometry tables reuse our numpy helpers
-# (fedvit_tpu.models.swin) — pure numpy, framework-neutral.
+# the stage resolution.
+#
+# The geometry tables below are DIRECT TORCH TRANSCRIPTIONS of timm's
+# swin_transformer_v2.py (WindowAttention.__init__ buffer construction and
+# the window_partition/reverse/mask helpers), written against timm's
+# published semantics and deliberately NOT importing fedvit_tpu.models.swin
+# — so a shared misunderstanding of timm's layout in our JAX model cannot
+# silently pass both sides of the parity tests (round-2 VERDICT item 7).
 
 import math
 
@@ -132,11 +138,70 @@ import numpy as np
 import torch.nn.functional as F
 
 
+def _timm_relative_coords_table(window, pretrained_window):
+    """timm SwinV2 log-CPB input table (1, 2w−1, 2w−1, 2).
+
+    Transcribed: meshgrid of h/w deltas, normalized by the PRETRAINED
+    window extent minus one when given (the window12to24 fine-tune
+    scheme), else the current window; ×8, then sign·log2(|·|+1)/log2(8)."""
+    rh = torch.arange(-(window - 1), window, dtype=torch.float64)
+    rw = torch.arange(-(window - 1), window, dtype=torch.float64)
+    table = torch.stack(torch.meshgrid(rh, rw, indexing="ij"),
+                        dim=-1).unsqueeze(0)             # (1, 2w−1, 2w−1, 2)
+    if pretrained_window > 0:
+        table[:, :, :, 0] /= pretrained_window - 1
+        table[:, :, :, 1] /= pretrained_window - 1
+    else:
+        table[:, :, :, 0] /= max(window - 1, 1)
+        table[:, :, :, 1] /= max(window - 1, 1)
+    table = table * 8                                    # normalize to ±8
+    table = (torch.sign(table) * torch.log2(torch.abs(table) + 1.0)
+             / math.log2(8))
+    return table.float()
+
+
+def _timm_relative_position_index(window):
+    """timm SwinV2 (w², w²) index into the flattened (2w−1)² table.
+
+    Transcribed: pairwise coordinate deltas, shifted to [0, 2w−2], row
+    delta scaled by (2w−1), then summed."""
+    coords = torch.stack(torch.meshgrid(torch.arange(window),
+                                        torch.arange(window),
+                                        indexing="ij"))   # (2, w, w)
+    flat = torch.flatten(coords, 1)                       # (2, w²)
+    rel = flat[:, :, None] - flat[:, None, :]             # (2, w², w²)
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)                                    # (w², w²)
+
+
+def _timm_shift_attention_mask(h, w, window, shift):
+    """timm SwinV2 shifted-window attention mask (nW, w², w²), −100 across
+    region boundaries; None when shift == 0. Transcribed img_mask trick:
+    count regions over the three h/w slabs, partition into windows,
+    pairwise-compare."""
+    if shift == 0:
+        return None
+    img = torch.zeros((1, h, w, 1))
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift),
+               slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift),
+                   slice(-shift, None)):
+            img[:, hs, ws, :] = cnt
+            cnt += 1
+    mw = _torch_window_partition(img, window).view(-1, window * window)
+    diff = mw.unsqueeze(1) - mw.unsqueeze(2)
+    return (diff != 0).float() * -100.0
+
+
 class _ShimSwinAttention(nn.Module):
     def __init__(self, dim, heads, window, pretrained_window):
         super().__init__()
-        from fedvit_tpu.models.swin import (relative_coords_table,
-                                            relative_position_index)
+        relative_coords_table = _timm_relative_coords_table
+        relative_position_index = _timm_relative_position_index
         self.num_heads = heads
         self.qkv = nn.Linear(dim, 3 * dim, bias=False)
         self.q_bias = nn.Parameter(torch.zeros(dim))
@@ -147,12 +212,10 @@ class _ShimSwinAttention(nn.Module):
                                      nn.Linear(512, heads, bias=False))
         self.proj = nn.Linear(dim, dim)
         self.register_buffer(
-            "rct", torch.tensor(relative_coords_table(window,
-                                                      pretrained_window)),
+            "rct", relative_coords_table(window, pretrained_window),
             persistent=False)
         self.register_buffer(
-            "rpi", torch.tensor(relative_position_index(window)),
-            persistent=False)
+            "rpi", relative_position_index(window), persistent=False)
 
     def forward(self, x, mask=None):
         b_, n, c = x.shape
@@ -194,7 +257,6 @@ class _ShimSwinBlock(nn.Module):
     def __init__(self, dim, heads, resolution, window, shift,
                  pretrained_window):
         super().__init__()
-        from fedvit_tpu.models.swin import shift_attention_mask
         if window >= min(resolution):
             window, shift = min(resolution), 0
         self.window, self.shift = window, shift
@@ -203,9 +265,9 @@ class _ShimSwinBlock(nn.Module):
         self.norm1 = nn.LayerNorm(dim)
         self.mlp = _Mlp(dim)
         self.norm2 = nn.LayerNorm(dim)
-        m = shift_attention_mask(resolution[0], resolution[1], window, shift)
-        self.register_buffer(
-            "mask", None if m is None else torch.tensor(m), persistent=False)
+        m = _timm_shift_attention_mask(resolution[0], resolution[1],
+                                       window, shift)
+        self.register_buffer("mask", m, persistent=False)
 
     def forward(self, x):
         h, w = self.resolution

@@ -241,8 +241,12 @@ def test_one_epoch_training_parity():
     from fedvit_tpu.train.step import make_train_step
     tx, _ = build_optimizer(cfg, variables["params"],
                             steps_per_epoch=n // bs)
-    state = TrainState.create(jm.apply, variables["params"],
-                              variables["batch_stats"], tx,
+    # donation (default-on) consumes the state's buffers — deep-copy so
+    # variables["params"] stays alive for the start_flat comparison below
+    state = TrainState.create(jm.apply,
+                              jax.tree.map(jnp.array, variables["params"]),
+                              jax.tree.map(jnp.array,
+                                           variables["batch_stats"]), tx,
                               jax.random.key(0), ema_enabled=False)
     step = make_train_step(cfg, cross_entropy_loss)
     our_losses = []
