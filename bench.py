@@ -9,6 +9,10 @@ steady-state images/sec/chip.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 
+`python bench.py swinv2` benches the reference's PRODUCTION model instead
+(SwinV2-L window12to24 @384, /root/reference/config.yaml:28) with the same
+recipe and the same analytic-FLOPs MFU formula.
+
 vs_baseline compares against the measured reference-equivalent PyTorch
 train-step throughput on this host (bench_baseline.py; the reference itself
 publishes no numbers — BASELINE.md).
@@ -19,6 +23,67 @@ from __future__ import annotations
 import json
 import sys
 import time
+
+
+def _vit_b16_fwd_flops() -> float:
+    """Analytic fwd FLOPs (2·MACs), ViT-B/16 @224, 4-ch patch embed."""
+    n_tok, dim, depth = 197, 768, 12
+    per_layer = (2 * n_tok * dim * 3 * dim + 2 * 2 * n_tok * n_tok * dim
+                 + 2 * n_tok * dim * dim + 2 * 2 * n_tok * dim * 4 * dim)
+    return depth * per_layer + 2 * 196 * (16 * 16 * 4) * dim
+
+
+def _swinv2_l384_fwd_flops() -> float:
+    """Analytic fwd FLOPs (2·MACs), SwinV2-L window12to24 @384, 4-ch embed.
+
+    Per block: QKV 3C², proj C², MLP 8C² (per token), attention 2·N·w²·C
+    (scores + PV), CPB MLP (2w−1)²·(2·512 + 512·H). Patch merging between
+    stages: (N/4)·(4C·2C). Geometry: timm swinv2_large_window12to24_192to384
+    — embed 192, depths (2,2,18,2), heads (6,12,24,48), window 24
+    (last stage clamps to its 12×12 resolution)."""
+    flops = 0.0
+    c0, depths, heads = 192, (2, 2, 18, 2), (6, 12, 24, 48)
+    res = 96  # 384 / patch 4
+    flops += 2 * res * res * (4 * 4 * 4) * c0          # patch embed conv
+    c = c0
+    for i, (dep, h) in enumerate(zip(depths, heads)):
+        n = res * res
+        w = min(24, res)
+        per_tok = 2 * (3 * c * c + c * c + 8 * c * c)   # qkv+proj+mlp MACs·2
+        attn = 2 * 2 * n * (w * w) * c                  # scores + PV
+        cpb = 2 * (2 * w - 1) ** 2 * (2 * 512 + 512 * h)
+        flops += dep * (n * per_tok + attn + cpb)
+        if i < 3:                                       # patch merging
+            flops += 2 * (n // 4) * (4 * c) * (2 * c)
+            res //= 2
+            c *= 2
+    return flops
+
+
+# model zoo for the bench: batch candidates are the measured-best-first
+# sweep order on v5e; fwd_flops feeds the single MFU formula (train ≈ 3·fwd)
+_BENCH_MODELS = {
+    "vit": {
+        "metric": "vit_b16_224_train_images_per_sec_per_chip",
+        "backbone": "vit_base_patch16_224",
+        "image_size": 224,
+        "drop_path_rate": 0.1,
+        "llrd_decay": 0.75,
+        "batch_candidates": [192, 128, 256, 64],
+        "fwd_flops": _vit_b16_fwd_flops(),
+        "has_baseline": True,
+    },
+    "swinv2": {
+        "metric": "swinv2_l384_train_images_per_sec_per_chip",
+        "backbone": "swinv2_large_window12to24_192to384",
+        "image_size": 384,
+        "drop_path_rate": 0.2,
+        "llrd_decay": 0.8,
+        "batch_candidates": [16, 24, 8],
+        "fwd_flops": _swinv2_l384_fwd_flops(),
+        "has_baseline": False,
+    },
+}
 
 
 def main() -> None:
@@ -33,17 +98,19 @@ def main() -> None:
     from fedvit_tpu.train.state import TrainState
     from fedvit_tpu.train.step import make_train_step
 
+    spec = _BENCH_MODELS[sys.argv[1] if len(sys.argv) > 1 else "vit"]
+    size = spec["image_size"]
+
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    # measured sweep on v5e (flat-layout attention): 192 > 128 > 224 > 256
-    batch_candidates = [192, 128, 256, 64] if on_tpu else [16]
+    batch_candidates = spec["batch_candidates"] if on_tpu else [4]
     steps = 20 if on_tpu else 3
 
     cfg = from_dict({
         "model": {
-            "backbone": "vit_base_patch16_224",
-            "image_size": 224,
+            "backbone": spec["backbone"],
+            "image_size": size,
             "compute_dtype": "bfloat16",
-            "drop_path_rate": 0.1,
+            "drop_path_rate": spec["drop_path_rate"],
             "metadata": {"enabled": True},
         },
         "data": {"use_segmentation_mask": True},
@@ -51,7 +118,7 @@ def main() -> None:
             "batch_size": batch_candidates[0],
             "gradient_accumulation_steps": 1,
             "optimizer": {"lr": 1e-4, "mu_dtype": "bfloat16"},
-            "llrd": {"enabled": True, "decay_rate": 0.75},
+            "llrd": {"enabled": True, "decay_rate": spec["llrd_decay"]},
             "ema": {"enabled": True, "decay": 0.9995},
             "grad_clip": 1.0,
         },
@@ -62,7 +129,7 @@ def main() -> None:
 
     model = build_model(cfg)
     rng = jax.random.key(0)
-    init_x = jnp.zeros((2, 224, 224, 4), jnp.float32)
+    init_x = jnp.zeros((2, size, size, 4), jnp.float32)
     init_m = jnp.zeros((2, 13), jnp.float32)
     variables = model.init({"params": rng, "dropout": rng}, init_x, init_m)
     loss_fn = build_loss(cfg)
@@ -87,7 +154,7 @@ def main() -> None:
         data_rng = np.random.default_rng(0)
         batch = {
             "image": jnp.asarray(
-                data_rng.uniform(size=(bs, 224, 224, 4)).astype(np.float32)),
+                data_rng.uniform(size=(bs, size, size, 4)).astype(np.float32)),
             "label": jnp.asarray(
                 data_rng.integers(0, 8, size=(bs,)).astype(np.int32)),
             "metadata": jnp.asarray(
@@ -156,36 +223,34 @@ def main() -> None:
                   file=sys.stderr)
 
     if best is None:
-        print(json.dumps({"metric": "vit_b16_224_train_images_per_sec_per_chip",
+        print(json.dumps({"metric": spec["metric"],
                           "value": 0.0, "unit": "images/sec",
                           "vs_baseline": 0.0, "error": "all batch sizes failed"}))
         return
 
-    try:
-        from bench_baseline import get_baseline
-        baseline = get_baseline()["value"]
-    except Exception as e:
-        print(f"[bench] baseline measurement failed: {e}", file=sys.stderr)
-        baseline = None
+    baseline = None
+    if spec["has_baseline"]:
+        try:
+            from bench_baseline import get_baseline
+            baseline = get_baseline()["value"]
+        except Exception as e:
+            print(f"[bench] baseline measurement failed: {e}", file=sys.stderr)
 
-    # MFU: fwd FLOPs (mult+add) for ViT-B/16@224 4-ch + meta head, train
-    # step ≈ 3× fwd; v5e bf16 peak 197 TFLOP/s
-    n_tok, dim, depth = 197, 768, 12
-    per_layer = (2 * n_tok * dim * 3 * dim + 2 * 2 * n_tok * n_tok * dim
-                 + 2 * n_tok * dim * dim + 2 * 2 * n_tok * dim * 4 * dim)
-    fwd_flops = depth * per_layer + 2 * 196 * (16 * 16 * 4) * dim
-    mfu = 3 * fwd_flops * best[1] / 197e12
+    # ONE MFU formula for every model: analytic fwd FLOPs (mult+add),
+    # train step ≈ 3× fwd; v5e bf16 peak 197 TFLOP/s
+    mfu = 3 * spec["fwd_flops"] * best[1] / 197e12
     print(f"[bench] MFU ~ {100*mfu:.1f}% (v5e 197 TFLOP/s peak)",
           file=sys.stderr)
 
     result = {
-        "metric": "vit_b16_224_train_images_per_sec_per_chip",
+        "metric": spec["metric"],
         "value": round(best[1], 2),
         "unit": "images/sec",
         "vs_baseline": round(best[1] / baseline, 2) if baseline else None,
-        "baseline": "reference-equivalent torch train step on this host's "
-                    "CPU (bench_baseline.py; the reference publishes no "
-                    "numbers and no GPU/MPS exists here — see BASELINE.md)",
+        "baseline": ("reference-equivalent torch train step on this host's "
+                     "CPU (bench_baseline.py; the reference publishes no "
+                     "numbers and no GPU/MPS exists here — see BASELINE.md)"
+                     if spec["has_baseline"] else None),
         "batch_size": best[0],
         "mfu_pct": round(100 * mfu, 1),
         "donated": donate,

@@ -91,7 +91,8 @@ class Mlp(nn.Module):
         out_dim = self.out_dim or x.shape[-1]
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init)(x)
-        x = nn.gelu(x, approximate=False)
+        from fedvit_tpu.ops.activations import gelu
+        x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(out_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init)(x)

@@ -190,7 +190,15 @@ class WindowAttentionV2(nn.Module):
 
         # cosine attention: per-head L2 norms on the flat layout — sum of
         # squares per 64·h-aligned lane segment via a static one-hot matmul
-        # (C, H), broadcast back with its transpose
+        # (C, H), broadcast back with its transpose. Two round-3 NEGATIVE
+        # results keep this the XLA-side formulation:
+        #  * padding the one-hot to 128 lanes: 223.9 vs 220.3 ms/step
+        #    (bandwidth, not lane alignment, is the ≈12 ms cost);
+        #  * fusing the normalization INTO the Pallas kernel
+        #    (ops/attention.windowed_cosine_attention_flat): the kernel's
+        #    serial in-program VPU norm chain inflated attention custom-call
+        #    time 189→319 ms per 3-step trace (+44 ms/step) — far more than
+        #    the 12 ms XLA-side cost it removed.
         seg = jnp.asarray(np.repeat(np.eye(h, dtype=np.float32), d, axis=0))
         logit_scale = self.param(
             "logit_scale",

@@ -119,6 +119,13 @@ def windowed_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         mask = jnp.zeros((1, n, n), jnp.float32)
     if impl == "pallas":
         from fedvit_tpu.ops.flash_attention import flash_attention_bias_flat
+        # NEGATIVE RESULT (round 3): padding unaligned head counts (e.g.
+        # SwinV2-L stage 1's H=6, d=32, where no head-block divisor tiles
+        # onto 128 lanes) up to 8 zero heads was tried and measured SLOWER
+        # end-to-end (228.4 vs 220.3 ms/step SwinV2-L@384 bs=16): Mosaic's
+        # fallback handles the unaligned per-head lane slices at full
+        # efficiency (stage-1 time tracks its FLOP ratio vs the aligned
+        # stages), so the pad/slice bandwidth is pure overhead.
         return flash_attention_bias_flat(q, k, v, bias, mask, num_heads)
     # XLA reference: window-major grouping
     w0 = mask.shape[0]
@@ -127,6 +134,56 @@ def windowed_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kh = k.reshape(w0, b, n, num_heads, d)
     vh = v.reshape(w0, b, n, num_heads, d)
     logits = jnp.einsum("wbnhd,wbmhd->wbhnm", qh, kh,
+                        preferred_element_type=jnp.float32)
+    logits = logits + bias[None, None].astype(jnp.float32)
+    logits = logits + mask[:, None, None].astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("wbhnm,wbmhd->wbnhd", weights, vh,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(wb, n, e)
+
+
+def windowed_cosine_attention_flat(q: jnp.ndarray, k: jnp.ndarray,
+                                   v: jnp.ndarray, scale: jnp.ndarray,
+                                   bias: jnp.ndarray,
+                                   mask: Optional[jnp.ndarray],
+                                   num_heads: int,
+                                   impl: str = "auto") -> jnp.ndarray:
+    """SwinV2 scaled-cosine windowed attention on RAW flat operands.
+
+    softmax(scale_h · q̂_h k̂_hᵀ + bias_h + mask_w) · v_h with
+    x̂ = x/max(‖x‖₂, 1e-6) per head (the reference clamp, timm
+    swin_transformer_v2 WindowAttention.forward semantics).
+
+    q, k, v: (W0·B, N, E) window-major flat; scale: (H,) f32 per-head
+    logit scale (differentiable); bias (H, N, N); mask (W0, N, N) or None.
+
+    On TPU the normalization happens INSIDE the fused Pallas kernel on the
+    resident head slice. NOTE: measured round 3, this fusion is a net LOSS
+    on SwinV2-L@384 (+44 ms/step of kernel time vs the ≈12 ms XLA-side
+    normalization it removes — see ops/flash_attention.py) because the
+    in-program norm chain serializes with the MXU dots; models/swin.py
+    uses windowed_attention_flat with XLA-side norms instead."""
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    wb, n, e = q.shape
+    d = e // num_heads
+    if mask is None:
+        mask = jnp.zeros((1, n, n), jnp.float32)
+    if impl == "pallas":
+        from fedvit_tpu.ops.flash_attention import flash_attention_cosine_flat
+        return flash_attention_cosine_flat(q, k, v, scale, bias, mask,
+                                           num_heads)
+    w0 = mask.shape[0]
+    b = wb // w0
+    qh = q.reshape(w0, b, n, num_heads, d).astype(jnp.float32)
+    kh = k.reshape(w0, b, n, num_heads, d).astype(jnp.float32)
+    vh = v.reshape(w0, b, n, num_heads, d)
+    qh = qh / jnp.clip(jnp.linalg.norm(qh, axis=-1, keepdims=True),
+                       min=1e-6) * scale.reshape(1, 1, 1, num_heads, 1)
+    kh = kh / jnp.clip(jnp.linalg.norm(kh, axis=-1, keepdims=True), min=1e-6)
+    logits = jnp.einsum("wbnhd,wbmhd->wbhnm", qh.astype(q.dtype),
+                        kh.astype(q.dtype),
                         preferred_element_type=jnp.float32)
     logits = logits + bias[None, None].astype(jnp.float32)
     logits = logits + mask[:, None, None].astype(jnp.float32)

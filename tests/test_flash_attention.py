@@ -141,6 +141,102 @@ def test_wflat_backward_matches_xla():
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
 
 
+def test_wflat_unaligned_head_count_matches_xla():
+    """H=6, d=32 (SwinV2-L stage 1) has no 128-lane head-block divisor —
+    the kernel's all-heads fallback with unaligned per-head lane slices
+    must still be exact (it is also the FAST path: zero-head padding was
+    measured slower end-to-end, see ops/attention.py)."""
+    w0, b, n, h, e = 2, 3, 64, 6, 192
+    q, k, v = make_windowed(w0, b, n, e, seed=31)
+    rng = np.random.default_rng(37)
+    bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+    mask = jnp.asarray(rng.normal(size=(w0, n, n)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+
+    out_p, vjp_pal = jax.vjp(
+        lambda q, k, v, bi: windowed_attention_flat(q, k, v, bi, mask, h,
+                                                    impl="pallas"),
+        q, k, v, bias)
+    out_x, vjp_xla = jax.vjp(
+        lambda q, k, v, bi: windowed_attention_flat(q, k, v, bi, mask, h,
+                                                    impl="xla"),
+        q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    for a, r, name in zip(vjp_pal(ct), vjp_xla(ct), ["q", "k", "v", "bias"]):
+        assert a.shape == r.shape, f"d{name} shape {a.shape} vs {r.shape}"
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_wcos_forward_and_grads_match_xla():
+    """The fused cosine kernel (in-kernel per-head L2 norm + SMEM logit
+    scale) must match the XLA reference formulation in forward and in all
+    five cotangents — dq/dk (normalization chain rule incl. the 1e-6 norm
+    clamp), dv, dBias, and the per-head dScale accumulated across the
+    window×batch grid."""
+    from fedvit_tpu.ops.attention import windowed_cosine_attention_flat
+    from fedvit_tpu.ops.flash_attention import flash_attention_cosine_flat
+    w0, b, n, h, e = 2, 5, 49, 2, 32
+    q, k, v = make_windowed(w0, b, n, e, seed=41)
+    rng = np.random.default_rng(43)
+    scale = jnp.asarray(rng.uniform(5.0, 15.0, size=(h,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+    mask = jnp.asarray(rng.normal(size=(w0, n, n)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+
+    out_p, vjp_pal = jax.vjp(
+        lambda q, k, v, s, bi: flash_attention_cosine_flat(
+            q, k, v, s, bi, mask, h, interpret=True),
+        q, k, v, scale, bias)
+    out_x, vjp_xla = jax.vjp(
+        lambda q, k, v, s, bi: windowed_cosine_attention_flat(
+            q, k, v, s, bi, mask, h, impl="xla"),
+        q, k, v, scale, bias)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    for a, r, name in zip(vjp_pal(ct), vjp_xla(ct),
+                          ["q", "k", "v", "scale", "bias"]):
+        assert a.shape == r.shape, f"d{name} {a.shape} vs {r.shape}"
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_wcos_norm_clamp_zero_rows():
+    """All-zero q/k rows hit the ‖x‖ ≤ 1e-6 clamp: forward must be finite
+    and the clamped rows' normalization grads must be the constant-r
+    branch (no NaN from 0/0)."""
+    from fedvit_tpu.ops.attention import windowed_cosine_attention_flat
+    w0, b, n, h, e = 1, 2, 16, 2, 32
+    q, k, v = make_windowed(w0, b, n, e, seed=47)
+    q = q.at[:, :4].set(0.0)
+    k = k.at[:, 2:6].set(0.0)
+    scale = jnp.full((h,), 10.0, jnp.float32)
+    bias = jnp.zeros((h, n, n), jnp.float32)
+
+    def run(impl):
+        def f(q, k, v, s):
+            o = windowed_cosine_attention_flat(q, k, v, s, bias, None, h,
+                                               impl=impl)
+            return (o ** 2).sum()
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(q, k, v,
+                                                                 scale)
+        return val, grads
+
+    vx, gx = run("xla")
+    vp, gp = run("pallas")   # interpret on CPU
+    assert np.isfinite(float(vp))
+    # the kernel's clamp branch keeps grads FINITE on zero rows — the XLA
+    # formulation NaNs there (norm's autodiff at 0 is 0/0), so the kernel
+    # is strictly safer; compare only where XLA itself is finite
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
+    for a, r in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        a, r = np.asarray(a), np.asarray(r)
+        assert np.isfinite(a).all(), "pallas grads must be finite"
+        fin = np.isfinite(r)
+        np.testing.assert_allclose(a[fin], r[fin], rtol=2e-4, atol=2e-4)
+
+
 def test_wflat_no_mask_broadcasts():
     """mask=None must equal an explicit zero mask on both impls."""
     w0, b, n, h, e = 1, 4, 36, 2, 32
