@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fedvit_tpu.ops.attention import attention_from_qkv
+from fedvit_tpu.ops.activations import gelu
+from fedvit_tpu.ops.attention import attention_from_qkv, attention_from_x
 
 # trunc-normal(0.02) — the reference head/backbone init (model.py:168-173)
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
@@ -91,7 +92,6 @@ class Mlp(nn.Module):
         out_dim = self.out_dim or x.shape[-1]
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init)(x)
-        from fedvit_tpu.ops.activations import gelu
         x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(out_dim, dtype=self.dtype,
@@ -114,13 +114,34 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         b, n, d = x.shape
         assert d % self.num_heads == 0
-        qkv = nn.Dense(3 * d, dtype=self.dtype, kernel_init=trunc_normal_init,
-                       name="qkv")(x)
-        # the fused kernel consumes the packed (B, N, 3E) projection output
-        # directly — zero layout/slice/concat ops on the TPU hot path
-        out = attention_from_qkv(qkv, self.num_heads,
-                                 impl=self.attention_impl)
+        if self.attention_impl == "mega":
+            # QKV projection fused INTO the attention kernel; the param
+            # tree ("qkv"/{kernel,bias}) stays identical to nn.Dense so
+            # checkpoints and weight import are unaffected
+            w, bias = _QKVParams(3 * d, name="qkv")(d)
+            out = attention_from_x(x, w.astype(self.dtype),
+                                   bias.astype(self.dtype), self.num_heads,
+                                   impl="mega")
+        else:
+            qkv = nn.Dense(3 * d, dtype=self.dtype,
+                           kernel_init=trunc_normal_init, name="qkv")(x)
+            # the fused kernel consumes the packed (B, N, 3E) projection
+            # output directly — zero layout/slice/concat ops on the hot path
+            out = attention_from_qkv(qkv, self.num_heads,
+                                     impl=self.attention_impl)
         out = nn.Dense(d, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
+
+
+class _QKVParams(nn.Module):
+    """nn.Dense-shaped parameters ({kernel, bias}) without the matmul —
+    the mega attention kernel applies them itself."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k = self.param("kernel", trunc_normal_init, (in_dim, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b

@@ -207,11 +207,20 @@ class WindowAttentionV2(nn.Module):
         scale = jnp.exp(jnp.clip(logit_scale, max=float(np.log(100.0))))
 
         def inv_norm(t, head_scale=None):
+            # sum of squares in f32 (the small (B, N, H) reduction needs the
+            # headroom), but the EXPANSION back to (B, N, C) and the multiply
+            # run in the compute dtype: in f32 they materialized two extra
+            # (W0·B, N, C) f32 arrays per q/k (~226 MB at stage 1) that the
+            # trace showed as pure-bandwidth fusions + f32→bf16 conversions
+            # (~3.7 ms/step). The one-hot expansion copies values exactly;
+            # the only cost is rounding 1/‖x‖ itself to bf16 — the same
+            # magnitude as the per-element q̂ rounding already incurred.
             ss = jnp.einsum("bnc,ch->bnh", t.astype(jnp.float32) ** 2, seg)
             inv = 1.0 / jnp.clip(jnp.sqrt(ss), min=1e-6)
             if head_scale is not None:
                 inv = inv * head_scale.reshape(1, 1, h)
-            return jnp.einsum("bnh,ch->bnc", inv, seg)
+            return jnp.einsum("bnh,ch->bnc", inv.astype(t.dtype),
+                              seg.astype(t.dtype))
 
         # fold the learned per-head cosine scale into q (|q·s| scales away in
         # the normalization, so applying it with the same lane pass is exact)

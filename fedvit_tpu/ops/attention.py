@@ -96,6 +96,24 @@ def attention_from_qkv(qkv: jnp.ndarray, num_heads: int,
                                       qkv[..., 2 * e:], num_heads, impl=impl)
 
 
+def attention_from_x(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                     num_heads: int, impl: str = "auto") -> jnp.ndarray:
+    """QKV projection + attention fused into one kernel (ViT 'mega' path).
+
+    x (B, N, D) · w (D, 3E) + b, then per-head attention — the packed QKV
+    tensor never exists in HBM in either pass (flash_attention_xqkv). The
+    XLA fallback computes the identical composition for CPU/parity."""
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl in ("pallas", "mega"):
+        from fedvit_tpu.ops.flash_attention import flash_attention_xqkv
+        return flash_attention_xqkv(x, w, b, num_heads)
+    qkv = (jnp.dot(x, w.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+           + b.astype(jnp.float32)).astype(x.dtype)
+    return attention_from_qkv(qkv, num_heads, impl="xla")
+
+
 def windowed_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             bias: jnp.ndarray, mask: Optional[jnp.ndarray],
                             num_heads: int,

@@ -304,6 +304,190 @@ def _qkv_bwd_rule(num_heads, interpret, res, grad_out):
 flash_attention_qkv.defvjp(_qkv_fwd_rule, _qkv_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Mega-kernel: QKV projection + attention in ONE Pallas program.
+#
+# The packed (B, N, 3E) projection output never exists in HBM in either
+# pass: forward computes qkv = x·W + b on the resident batch block and
+# consumes it for attention in VMEM; backward recomputes it, runs the
+# attention VJP to a VMEM dqkv, and immediately applies the projection VJP
+# in-kernel — dx = dqkv·Wᵀ streams out per block while dW = xᵀ·dqkv and
+# db = Σ dqkv accumulate across the batch grid in resident f32 blocks
+# (same revisited-output pattern as the windowed kernel's dBias).
+# Eliminated HBM traffic per step vs flash_attention_qkv: qkv write+read
+# forward, qkv recompute read + dqkv write+read backward — ~5 full
+# (B, N, 3E) passes (~870 MB at ViT-B bs=192).
+# ---------------------------------------------------------------------------
+
+
+def _xqkv_fwd_kernel(nheads, e, scale, x_ref, w_ref, b_ref, o_ref):
+    d = e // nheads
+    qkv = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[0][None, None]).astype(x_ref.dtype)
+    outs = []
+    for t in range(nheads):
+        p = _head_probs(qkv, qkv,
+                        (slice(t * d, (t + 1) * d),
+                         slice(e + t * d, e + (t + 1) * d)), scale)
+        o = jax.lax.dot_general(p.astype(qkv.dtype),
+                                qkv[:, :, 2 * e + t * d: 2 * e + (t + 1) * d],
+                                _BATCHED_PV, preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
+
+
+def _xqkv_bwd_kernel(nheads, e, scale, x_ref, w_ref, b_ref, do_ref,
+                     dx_ref, dw_ref, db_ref):
+    d = e // nheads
+    g, n, dim = x_ref.shape
+    qkv = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[0][None, None]).astype(x_ref.dtype)
+    dqs, dks, dvs = [], [], []
+    for t in range(nheads):
+        qs = slice(t * d, (t + 1) * d)
+        ks = slice(e + t * d, e + (t + 1) * d)
+        vs = slice(2 * e + t * d, 2 * e + (t + 1) * d)
+        p = _head_probs(qkv, qkv, (qs, ks), scale)
+        do = do_ref[:, :, qs]
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, qkv[:, :, vs], _BATCHED_QKT,
+                                 preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - row)).astype(do.dtype)
+        dq = jax.lax.dot_general(ds, qkv[:, :, ks], _BATCHED_PV,
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qkv[:, :, qs], _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq.astype(x_ref.dtype))
+        dks.append(dk.astype(x_ref.dtype))
+        dvs.append(dv.astype(x_ref.dtype))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)      # (g, N, 3E) bf16
+    dx_ref[:] = jax.lax.dot_general(
+        dqkv, w_ref[:], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    xf = x_ref[:].reshape(g * n, dim)
+    df = dqkv.reshape(g * n, 3 * e)
+    dw = jax.lax.dot_general(xf, df, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    db = jnp.sum(df.astype(jnp.float32), axis=0, keepdims=True)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        dw_ref[:] = dw
+        db_ref[:] = db
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw_ref[:] = dw_ref[:] + dw
+        db_ref[:] = db_ref[:] + db
+
+
+def _xqkv_groups(b: int, n: int, dim: int, e: int, itemsize: int):
+    """Batch-groups: forward caps like the packed kernel; backward must also
+    hold the resident W (dim, 3E) bf16 + dW (dim, 3E) f32 + the in-flight
+    f32 qkv/dqkv values, so it gets a tighter budget."""
+    n_lanes = _round_up(n)
+
+    def pick(bytes_per_g: int, fixed: int, budget_mb: int, cap: int) -> int:
+        avail = budget_mb * 1024 * 1024 - fixed
+        g = int(max(1, min(cap, avail // bytes_per_g)))
+        while b % g:
+            g -= 1
+        return g
+
+    w_bytes = dim * 3 * e * itemsize
+    fwd_per_g = n * (dim + 4 * e) * itemsize + 4 * n * 3 * e + \
+        2 * n * n_lanes * 4
+    bwd_per_g = n * (2 * dim + 4 * e) * itemsize + 8 * n * 3 * e + \
+        4 * n * n_lanes * 4
+    return (pick(fwd_per_g, 2 * w_bytes, 28, 8),
+            pick(bwd_per_g, 2 * w_bytes + 2 * dim * 3 * e * 4, 48, 4))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_xqkv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                         num_heads: int,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused QKV-projection + attention: attention(x·W + b) → (B, N, E).
+
+    x: (B, N, D); w: (D, 3E) packed [Wq | Wk | Wv] head-major within each
+    third (exactly nn.Dense(3E)'s kernel); b: (3E,). The projection runs on
+    the MXU inside the kernel (f32 accumulation + bias, then cast to the
+    compute dtype — same numerics as the XLA Dense it replaces)."""
+    out, _ = _xqkv_fwd_rule(x, w, b, num_heads, interpret)
+    return out
+
+
+def _xqkv_fwd_rule(x, w, b, num_heads, interpret):
+    bsz, n, dim = x.shape
+    e3 = w.shape[1]
+    assert w.shape[0] == dim and b.shape == (e3,)
+    e = e3 // 3
+    assert e % num_heads == 0
+    scale = 1.0 / float(np.sqrt(e // num_heads))
+    g, _ = _xqkv_groups(bsz, n, dim, e, x.dtype.itemsize)
+    interp = _interpret_flag(interpret)
+    kwargs = {} if interp else {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024)}
+    out = pl.pallas_call(
+        functools.partial(_xqkv_fwd_kernel, num_heads, e, scale),
+        grid=(bsz // g,),
+        in_specs=[_flat_spec(g, n, dim),
+                  pl.BlockSpec((dim, e3), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, e3), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=_flat_spec(g, n, e),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, e), x.dtype),
+        interpret=interp,
+        **kwargs,
+    )(x, w, b.reshape(1, e3).astype(jnp.float32))
+    return out, (x, w, b)
+
+
+def _xqkv_bwd_rule(num_heads, interpret, res, grad_out):
+    x, w, b = res
+    bsz, n, dim = x.shape
+    e3 = w.shape[1]
+    e = e3 // 3
+    scale = 1.0 / float(np.sqrt(e // num_heads))
+    _, g = _xqkv_groups(bsz, n, dim, e, x.dtype.itemsize)
+    interp = _interpret_flag(interpret)
+    kwargs = {} if interp else {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)}
+    dx, dw, db = pl.pallas_call(
+        functools.partial(_xqkv_bwd_kernel, num_heads, e, scale),
+        grid=(bsz // g,),
+        in_specs=[_flat_spec(g, n, dim),
+                  pl.BlockSpec((dim, e3), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, e3), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  _flat_spec(g, n, e)],
+        out_specs=[_flat_spec(g, n, dim),
+                   pl.BlockSpec((dim, e3), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, e3), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((bsz, n, dim), x.dtype),
+                   jax.ShapeDtypeStruct((dim, e3), jnp.float32),
+                   jax.ShapeDtypeStruct((1, e3), jnp.float32)],
+        interpret=interp,
+        **kwargs,
+    )(x, w, b.reshape(1, e3).astype(jnp.float32),
+      grad_out.astype(x.dtype))
+    return (dx, dw.astype(w.dtype), db[0].astype(b.dtype))
+
+
+flash_attention_xqkv.defvjp(_xqkv_fwd_rule, _xqkv_bwd_rule)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fused attention for (B, N, H, D) operands → (B, N, H, D).
@@ -360,7 +544,10 @@ def _wflat_groups(b: int, n: int, hb: int, d: int, h: int, itemsize: int):
             g -= 1
         return g
 
-    return pick(4, 2, 14, 8), pick(7, 4, 28, 4)
+    # budgets sized against the 64 MB scoped window (_wflat_compiler_kwargs):
+    # at SwinV2-L@384 shapes (N=576) the previous 14/28 MB budgets forced
+    # g=1 on every stage
+    return pick(4, 2, 28, 8), pick(7, 4, 48, 4)
 
 
 def _wflat_fwd_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref, o_ref):

@@ -376,3 +376,65 @@ def test_qkv_packed_matches_flat():
     g_x = loss(lambda t: attention_from_qkv(t, h, impl="xla"))
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_xqkv_mega_forward_and_grads_match_xla():
+    """The mega kernel (QKV projection fused into attention) must match the
+    XLA composition Dense→attention in forward and in dx/dW/db — including
+    the in-kernel dW/db accumulation across multiple batch-grid steps."""
+    from fedvit_tpu.ops.attention import attention_from_x
+
+    b, n, h, dim = 4, 64, 4, 128
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(b, n, dim)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(dim, 3 * dim)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(3 * dim,)) * 0.1, jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(b, n, dim)), jnp.float32)
+
+    from fedvit_tpu.ops.flash_attention import flash_attention_xqkv
+    out_p, vjp_pal = jax.vjp(
+        lambda x, w, bias: flash_attention_xqkv(x, w, bias, h,
+                                                interpret=True),
+        x, w, bias)
+    out_x, vjp_xla = jax.vjp(
+        lambda x, w, bias: attention_from_x(x, w, bias, h, impl="xla"),
+        x, w, bias)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    for a, r, name in zip(vjp_pal(ct), vjp_xla(ct), ["x", "w", "b"]):
+        assert a.shape == r.shape, f"d{name} shape {a.shape} vs {r.shape}"
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=3e-4, atol=3e-4, err_msg=f"d{name}")
+
+
+def test_mega_attention_impl_in_vit_block():
+    """attention_impl='mega' must produce the same model function as the
+    default path (same param tree, same logits) on a tiny ViT."""
+    from fedvit_tpu.core.config import from_dict
+    from fedvit_tpu.models import build_model
+
+    def build(impl):
+        cfg = from_dict({
+            "model": {"backbone": "vit_tiny_patch16_224", "image_size": 224,
+                      "compute_dtype": "float32", "attention_impl": impl,
+                      "metadata": {"enabled": False}},
+        })
+        return build_model(cfg)
+
+    rng = jax.random.key(0)
+    x = jnp.asarray(np.random.default_rng(3).uniform(size=(2, 224, 224, 3)),
+                    jnp.float32)
+    m_ref = build("xla")
+    v_ref = m_ref.init({"params": rng, "dropout": rng}, x, None)
+    m_mega = build("mega")
+    v_mega = m_mega.init({"params": rng, "dropout": rng}, x, None)
+    # identical param trees (shapes AND values: same init streams)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        v_ref["params"], v_mega["params"])
+    o_ref = m_ref.apply(v_ref, x, None, deterministic=True)
+    o_mega = m_mega.apply(v_mega, x, None, deterministic=True)
+    np.testing.assert_allclose(np.asarray(o_mega["logits"]),
+                               np.asarray(o_ref["logits"]),
+                               rtol=2e-4, atol=2e-4)
