@@ -98,6 +98,11 @@ def main(argv=None) -> int:
     meta = jnp.zeros((2, cfg.model.metadata.input_dim))
     variables = model.init({"params": rng, "dropout": rng}, x, meta)
 
+    if args.resume and args.checkpoint_every <= 0:
+        raise SystemExit(
+            "--resume requires --checkpoint-every > 0: with checkpointing "
+            "disabled there is no workdir to resume from (and the resumed "
+            "run would stop persisting progress).")
     workdir = (os.path.join(args.log, "ckpt")
                if args.checkpoint_every > 0 else None)
     result = train_federated(cfg, model, variables, train_data, eval_data,

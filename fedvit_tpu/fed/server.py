@@ -156,6 +156,28 @@ def train_federated(
         rng.bit_generator.state = saved["np_rng_state"]
         history = list(saved["history"])
         start_round = saved["round"] + 1
+        # the bit-identical-continuation contract only holds under the
+        # config the dead run used — refuse a silent hyperparameter switch
+        if saved.get("config") is not None:
+            import json as _json
+            from fedvit_tpu.core.config import to_dict as _cfg_dict
+            # normalize through the same JSON encoding the checkpoint used
+            # (tuples→lists, non-JSON scalars→str)
+            cur = _json.loads(_json.dumps(_cfg_dict(cfg), default=str))
+            old = saved["config"]
+            # run length may legitimately grow on resume ("train 4 more
+            # rounds"); everything else must match bit-identically
+            for d in (cur, old):
+                d.get("federated", {}).pop("rounds", None)
+            if cur != old:
+                diff = [k for k in set(cur) | set(old)
+                        if cur.get(k) != old.get(k)]
+                raise ValueError(
+                    f"--resume config mismatch vs the checkpoint at "
+                    f"{workdir} (differing sections: {sorted(diff)}); "
+                    f"resuming under different hyperparameters would "
+                    f"silently break the continuation. Use the original "
+                    f"config, or start a fresh run without --resume.")
         log_fn(f"[fed] resumed from round {saved['round']} "
                f"({workdir}) — continuing at round {start_round}")
 

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fedvit_tpu.ops.activations import gelu
+
 from fedvit_tpu.models.layers import trunc_normal_init
 from fedvit_tpu.ops.attention import xla_attention
 
@@ -53,7 +55,7 @@ class ConcatFusion(nn.Module):
                      name="trans_proj")(trans_features.astype(self.dtype))
         x = jnp.concatenate([t, s], axis=-1)
         x = nn.Dense(self.output_dim, dtype=self.dtype, name="fusion_fc")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(0.1)(x, deterministic=deterministic)
         return x.astype(jnp.float32)
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fedvit_tpu.ops.activations import gelu
+
 from fedvit_tpu.models.layers import trunc_normal_init
 
 
@@ -28,7 +30,7 @@ class ClassifierHead(nn.Module):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init,
                      bias_init=nn.initializers.zeros, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         if self.layer_norm:
             x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

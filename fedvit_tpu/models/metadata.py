@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fedvit_tpu.ops.activations import gelu
+
 from fedvit_tpu.data.constants import NUM_SEX, NUM_SITE
 from fedvit_tpu.models.layers import TorchBatchNorm
 
@@ -31,12 +33,12 @@ class MetadataBranch(nn.Module):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = TorchBatchNorm(dtype=jnp.float32, name="bn1")(
             x, use_running_average=deterministic)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(x)
         x = TorchBatchNorm(dtype=jnp.float32, name="bn2")(
             x, use_running_average=deterministic)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         return x.astype(jnp.float32)
 
 

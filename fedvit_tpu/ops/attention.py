@@ -69,6 +69,9 @@ def dot_product_attention_flat(q: jnp.ndarray, k: jnp.ndarray,
     """
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
+    if impl == "mega":
+        impl = "pallas"   # 'mega' only changes the ViT MHA composition;
+                          # every other attention keeps its fused kernel
     if impl == "pallas":
         from fedvit_tpu.ops.flash_attention import flash_attention_flat
         return flash_attention_flat(q, k, v, num_heads)
@@ -87,6 +90,9 @@ def attention_from_qkv(qkv: jnp.ndarray, num_heads: int,
     backward dq/dk/dv concatenation ever materialize on the Pallas path)."""
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
+    if impl == "mega":
+        impl = "pallas"   # 'mega' only changes the ViT MHA composition;
+                          # every other attention keeps its fused kernel
     if impl == "pallas":
         from fedvit_tpu.ops.flash_attention import flash_attention_qkv
         return flash_attention_qkv(qkv, num_heads)
@@ -131,6 +137,8 @@ def windowed_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
+    if impl == "mega":
+        impl = "pallas"   # 'mega' only changes the ViT MHA composition
     wb, n, e = q.shape
     d = e // num_heads
     if mask is None:
@@ -184,6 +192,8 @@ def windowed_cosine_attention_flat(q: jnp.ndarray, k: jnp.ndarray,
     uses windowed_attention_flat with XLA-side norms instead."""
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
+    if impl == "mega":
+        impl = "pallas"   # 'mega' only changes the ViT MHA composition
     wb, n, e = q.shape
     d = e // num_heads
     if mask is None:
@@ -225,6 +235,8 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
+    if impl == "mega":
+        impl = "pallas"   # 'mega' only changes the ViT MHA composition
     if impl == "pallas" and bias is None:
         from fedvit_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v)

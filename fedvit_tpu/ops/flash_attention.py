@@ -325,7 +325,7 @@ def _xqkv_fwd_kernel(nheads, e, scale, x_ref, w_ref, b_ref, o_ref):
     qkv = jax.lax.dot_general(
         x_ref[:], w_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    qkv = (qkv + b_ref[0][None, None]).astype(x_ref.dtype)
+    qkv = (qkv + b_ref[:][None]).astype(x_ref.dtype)  # (1, e3) stays 2-D (Mosaic rank-1 hazard)
     outs = []
     for t in range(nheads):
         p = _head_probs(qkv, qkv,
@@ -345,7 +345,7 @@ def _xqkv_bwd_kernel(nheads, e, scale, x_ref, w_ref, b_ref, do_ref,
     qkv = jax.lax.dot_general(
         x_ref[:], w_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    qkv = (qkv + b_ref[0][None, None]).astype(x_ref.dtype)
+    qkv = (qkv + b_ref[:][None]).astype(x_ref.dtype)  # (1, e3) stays 2-D (Mosaic rank-1 hazard)
     dqs, dks, dvs = [], [], []
     for t in range(nheads):
         qs = slice(t * d, (t + 1) * d)

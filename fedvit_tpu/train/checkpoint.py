@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -93,11 +94,32 @@ def checkpoint_exists(path: str) -> bool:
 # (Reference checkpoint surface: utils.py:287-308 — epoch trainer only; the
 # reference has no federated persistence at all.)
 
+def _fed_dir(path: str) -> Path:
+    """The live federated checkpoint directory, falling back to the `.old`
+    generation if a crash landed between the two swap renames."""
+    p = Path(path).absolute()
+    live, old = p / "fed_ckpt", p / "fed_ckpt.old"
+    if (live / "fed_meta.json").exists():
+        return live
+    return old
+
+
 def save_federated_checkpoint(path: str, params, batch_stats, ema_params,
                               rnd: int, history, np_rng_state: Dict,
                               key, cfg: Optional[Config] = None) -> None:
-    """Persist per-round federated server state to `path` (a directory)."""
-    path = Path(path).absolute()
+    """Persist per-round federated server state to `path` (a directory).
+
+    Crash-safe: state + meta are written together into `fed_ckpt.tmp/`
+    and promoted with two directory renames (atomic on one filesystem);
+    the previous generation survives as `fed_ckpt.old` until the new one
+    is live, so every crash window leaves a loadable checkpoint — state
+    and meta can never desynchronize."""
+    base = Path(path).absolute()
+    tmp, live, old = base / "fed_ckpt.tmp", base / "fed_ckpt", \
+        base / "fed_ckpt.old"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
     tree = {
         "params": params,
         "batch_stats": batch_stats,
@@ -105,15 +127,22 @@ def save_federated_checkpoint(path: str, params, batch_stats, ema_params,
     }
     if ema_params is not None:
         tree["ema_params"] = ema_params
-    ocp.PyTreeCheckpointer().save(path / "fed_state", tree, force=True)
+    ocp.PyTreeCheckpointer().save(tmp / "fed_state", tree)
     meta = {
         "round": int(rnd),
         "history": history,
         "np_rng_state": np_rng_state,   # PCG64 state dict — plain ints
         "config": to_dict(cfg) if cfg is not None else None,
     }
-    (path / "fed_meta.json").write_text(json.dumps(meta, indent=2,
-                                                   default=str))
+    (tmp / "fed_meta.json").write_text(json.dumps(meta, indent=2,
+                                                  default=str))
+    if old.exists():
+        shutil.rmtree(old)
+    if live.exists():
+        live.rename(old)
+    tmp.rename(live)
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def load_federated_checkpoint(path: str, params, batch_stats,
@@ -122,7 +151,7 @@ def load_federated_checkpoint(path: str, params, batch_stats,
 
     Returns {"params", "batch_stats", "ema_params", "key", "round",
     "history", "np_rng_state", "config"}."""
-    path = Path(path).absolute()
+    path = _fed_dir(path)
     target = {
         "params": jax.tree.map(np.asarray, params),
         "batch_stats": jax.tree.map(np.asarray, batch_stats),
@@ -147,5 +176,5 @@ def load_federated_checkpoint(path: str, params, batch_stats,
 
 
 def federated_checkpoint_exists(path: str) -> bool:
-    p = Path(path)
+    p = _fed_dir(path)
     return (p / "fed_meta.json").exists() and (p / "fed_state").exists()
