@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-3 TPU measurement queue — run under nohup when the axon tunnel
+# recovers. Each stage logs to /tmp/q_*.log; later stages still run if an
+# earlier one fails (independent programs).
+set -u
+cd /root/repo
+
+run() {  # run <tag> <cmd...>
+  tag=$1; shift
+  echo "[queue] $(date -u +%H:%M:%S) start $tag" >> /tmp/q_status.log
+  timeout 3000 "$@" > "/tmp/q_$tag.log" 2>&1
+  echo "[queue] $(date -u +%H:%M:%S) done  $tag rc=$?" >> /tmp/q_status.log
+}
+
+# 1. SwinV2-L@384 bs=16 with bf16-norm-expansion + kernel budgets + bf16
+#    residual stream (commits e75a4f2..da9ccc1) + trace
+run swin_acl python -u tools/swin_trace.py 16
+
+# 2. ViT-B bench sweep (the driver-facing number) with the bf16 GELU
+run vit_bench python -u bench.py
+
+# 3. ViT-L/16@384 measurement with GELU + donation
+run vitl python -u tools/vit_trace.py 16 vit_large_patch16_384 384
+
+# 4. ViT-B mega-kernel A/B at bs=192 (attention_impl=mega)
+run vit_mega python -u tools/vit_trace.py 192 vit_base_patch16_224 224 mega

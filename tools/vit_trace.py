@@ -12,9 +12,10 @@ from fedvit_tpu.train.step import make_train_step
 bs = int(sys.argv[1]) if len(sys.argv) > 1 else 192
 backbone = sys.argv[2] if len(sys.argv) > 2 else "vit_base_patch16_224"
 size = int(sys.argv[3]) if len(sys.argv) > 3 else 224
+impl = sys.argv[4] if len(sys.argv) > 4 else "auto"
 cfg = from_dict({
     "model": {"backbone": backbone, "image_size": size,
-              "compute_dtype": "bfloat16",
+              "compute_dtype": "bfloat16", "attention_impl": impl,
               "drop_path_rate": 0.1, "metadata": {"enabled": True}},
     "data": {"use_segmentation_mask": True},
     "training": {"batch_size": bs, "gradient_accumulation_steps": 1,
