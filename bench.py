@@ -79,7 +79,7 @@ _BENCH_MODELS = {
         "image_size": 384,
         "drop_path_rate": 0.2,
         "llrd_decay": 0.8,
-        "batch_candidates": [16, 24, 8],
+        "batch_candidates": [16, 24],
         "fwd_flops": _swinv2_l384_fwd_flops(),
         "has_baseline": False,
     },

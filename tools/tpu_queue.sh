@@ -4,11 +4,15 @@
 # earlier one fails (independent programs).
 set -u
 cd /root/repo
+# persistent compilation cache: makes cross-process re-runs of the same
+# program (trace tool -> bench) skip the 20-min Mosaic/XLA compile
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+mkdir -p /tmp/jaxcache
 
 run() {  # run <tag> <cmd...>
   tag=$1; shift
   echo "[queue] $(date -u +%H:%M:%S) start $tag" >> /tmp/q_status.log
-  timeout 3000 "$@" > "/tmp/q_$tag.log" 2>&1
+  timeout 3600 "$@" > "/tmp/q_$tag.log" 2>&1
   echo "[queue] $(date -u +%H:%M:%S) done  $tag rc=$?" >> /tmp/q_status.log
 }
 
@@ -24,3 +28,7 @@ run vitl python -u tools/vit_trace.py 16 vit_large_patch16_384 384
 
 # 4. ViT-B mega-kernel A/B at bs=192 (attention_impl=mega)
 run vit_mega python -u tools/vit_trace.py 192 vit_base_patch16_224 224 mega
+
+# 5. Swin bench entry (prints the judge-facing MFU): bs 16 reuses the
+#    stage-1 compile via the persistent cache if it works
+run swin_bench python -u bench.py swinv2
