@@ -347,3 +347,58 @@ def test_federated_checkpoint_resume_bit_identical(tmp_path):
                     jax.tree.leaves(resumed.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+from pathlib import Path
+
+
+def test_federated_checkpoint_atomic_crash_windows(tmp_path):
+    """The directory-swap save must leave a loadable checkpoint in every
+    crash window: mid-tmp-write (stale tmp ignored), between the two
+    renames (fed_ckpt.old fallback), and after promotion (live wins)."""
+    import shutil
+    import jax
+    import jax.numpy as jnp
+    from fedvit_tpu.train import checkpoint as ckpt
+
+    params = {"w": np.ones((4, 4), np.float32)}
+    bstats = {}
+    key = jax.random.key(7)
+    rng = np.random.default_rng(3)
+    base = str(tmp_path / "wd")
+
+    def save(rnd):
+        p = jax.tree.map(lambda a: a + rnd, params)
+        ckpt.save_federated_checkpoint(base, p, bstats, None, rnd,
+                                       [{"round": rnd}],
+                                       rng.bit_generator.state, key)
+
+    save(1)
+    assert ckpt.federated_checkpoint_exists(base)
+
+    # window A: crash mid-save of round 2 — a half-written tmp dir exists;
+    # the live round-1 generation must still load
+    tmp = Path(base) / "fed_ckpt.tmp"
+    tmp.mkdir()
+    (tmp / "fed_meta.json").write_text("{corrupt")
+    got = ckpt.load_federated_checkpoint(base, params, bstats, None)
+    assert got["round"] == 1
+    shutil.rmtree(tmp)
+
+    # window B: crash between the two renames — live dir gone, .old holds
+    # round 1; exists() and load() must fall back to it
+    live, old = Path(base) / "fed_ckpt", Path(base) / "fed_ckpt.old"
+    live.rename(old)
+    assert ckpt.federated_checkpoint_exists(base)
+    got = ckpt.load_federated_checkpoint(base, params, bstats, None)
+    assert got["round"] == 1 and got["history"] == [{"round": 1}]
+    old.rename(live)   # restore
+
+    # window C: a later save promotes atomically over the previous one and
+    # clears both transient generations
+    save(2)
+    got = ckpt.load_federated_checkpoint(base, params, bstats, None)
+    assert got["round"] == 2
+    np.testing.assert_allclose(got["params"]["w"], params["w"] + 2)
+    assert not (Path(base) / "fed_ckpt.tmp").exists()
+    assert not (Path(base) / "fed_ckpt.old").exists()
