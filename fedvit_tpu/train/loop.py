@@ -91,6 +91,8 @@ def _evaluate(eval_step, augment, params, batch_stats, source, batch_size,
     total = sum(n for _, n in losses) or 1
     m["loss"] = sum(l * n for l, n in losses) / total
     m["probs"] = np.concatenate(probs) if probs else np.zeros((0, num_classes))
+    m["logits"] = (np.concatenate(all_logits) if all_logits
+                   else np.zeros((0, num_classes)))
     return m
 
 
