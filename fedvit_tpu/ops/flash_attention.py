@@ -44,6 +44,7 @@ timm backbones (/root/reference/model.py:112-117).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -166,7 +167,11 @@ def _flat_groups(b: int, n: int, e: int, itemsize: int):
     Measured optimum on v5e (ViT-B shapes): fwd g=8-cap under the default
     ~14 MB scoped window (larger groups with a raised vmem limit run SLOWER —
     pipelining headroom shrinks); bwd g=4-cap under a raised 64 MB limit
-    (g=4 beats both g=2@default and g=8@64MB)."""
+    (g=4 beats both g=2@default and g=8@64MB).
+
+    FEDVIT_ATTN_G="f,b" overrides (0 keeps auto) — a tuning knob for
+    on-hardware sweeps at new shapes (tools/attn_micro.py); the callers
+    raise the scoped-VMEM window to fit a forced group."""
     n_lanes = _round_up(n)
 
     def pick(blocks: int, tiles: int, budget_mb: int, cap: int) -> int:
@@ -176,7 +181,33 @@ def _flat_groups(b: int, n: int, e: int, itemsize: int):
             g -= 1
         return g
 
-    return pick(4, 2, 14, 8), pick(7, 4, 28, 4)
+    fwd, bwd = pick(4, 2, 14, 8), pick(7, 4, 28, 4)
+    ov = os.environ.get("FEDVIT_ATTN_G")
+    if ov:
+        f_ov, b_ov = (int(t) for t in ov.split(","))
+        if f_ov and b % f_ov == 0:
+            fwd = f_ov
+        if b_ov and b % b_ov == 0:
+            bwd = b_ov
+    return fwd, bwd
+
+
+def _flat_live_bytes(g: int, n: int, e: int, itemsize: int,
+                     blocks: int, tiles: int) -> int:
+    return g * (2 * blocks * n * e * itemsize + tiles * n * _round_up(n) * 4)
+
+
+def _scoped_vmem_kwargs(live: int, interp: bool, floor_mb: int = 0):
+    """compiler_params raising the scoped-VMEM window to fit `live` bytes
+    (+25% Mosaic scratch margin); no-op when the default window suffices
+    and no floor is requested (auto groups are sized to stay under it)."""
+    if interp:
+        return {}
+    need = max(int(live * 1.25), floor_mb * 1024 * 1024)
+    if need <= 14 * 1024 * 1024:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=min(need, 120 * 1024 * 1024))}
 
 
 def _flat_spec(g: int, n: int, e: int):
@@ -204,13 +235,16 @@ def _flat_fwd_rule(q, k, v, num_heads, interpret):
     scale = 1.0 / float(np.sqrt(d))
     g, _ = _flat_groups(b, n, e, q.dtype.itemsize)
 
+    interp = _interpret_flag(interpret)
     out = pl.pallas_call(
         functools.partial(_flat_fwd_kernel, num_heads, scale),
         grid=(b // g,),
         in_specs=[_flat_spec(g, n, e)] * 3,
         out_specs=_flat_spec(g, n, e),
         out_shape=jax.ShapeDtypeStruct((b, n, e), q.dtype),
-        interpret=_interpret_flag(interpret),
+        interpret=interp,
+        **_scoped_vmem_kwargs(
+            _flat_live_bytes(g, n, e, q.dtype.itemsize, 4, 2), interp),
     )(q, k, v)
     return out, (q, k, v)
 
@@ -223,12 +257,11 @@ def _flat_bwd_rule(num_heads, interpret, res, grad_out):
     _, g = _flat_groups(b, n, e, q.dtype.itemsize)
 
     interp = _interpret_flag(interpret)
-    kwargs = {}
-    if not interp:
-        # the bwd live set (7 blocks + 4 score tiles) exceeds the default
-        # ~16 MB scoped-vmem window at the measured-optimal g=4
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)
+    # the bwd live set (7 blocks + 4 score tiles) exceeds the default
+    # ~16 MB scoped-vmem window at the measured-optimal g=4
+    kwargs = _scoped_vmem_kwargs(
+        _flat_live_bytes(g, n, e, q.dtype.itemsize, 7, 4), interp,
+        floor_mb=64)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flat_bwd_kernel, num_heads, scale),
         grid=(b // g,),
@@ -266,13 +299,16 @@ def _qkv_fwd_rule(qkv, num_heads, interpret):
     scale = 1.0 / float(np.sqrt(e // num_heads))
     g, _ = _flat_groups(b, n, e, qkv.dtype.itemsize)
 
+    interp = _interpret_flag(interpret)
     out = pl.pallas_call(
         functools.partial(_qkv_fwd_kernel, num_heads, e, scale),
         grid=(b // g,),
         in_specs=[_flat_spec(g, n, e3)],
         out_specs=_flat_spec(g, n, e),
         out_shape=jax.ShapeDtypeStruct((b, n, e), qkv.dtype),
-        interpret=_interpret_flag(interpret),
+        interpret=interp,
+        **_scoped_vmem_kwargs(
+            _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 4, 2), interp),
     )(qkv)
     return out, (qkv,)
 
@@ -285,10 +321,9 @@ def _qkv_bwd_rule(num_heads, interpret, res, grad_out):
     _, g = _flat_groups(b, n, e, qkv.dtype.itemsize)
 
     interp = _interpret_flag(interpret)
-    kwargs = {}
-    if not interp:
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)
+    kwargs = _scoped_vmem_kwargs(
+        _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 7, 4), interp,
+        floor_mb=64)
     dqkv = pl.pallas_call(
         functools.partial(_qkv_bwd_kernel, num_heads, e, scale),
         grid=(b // g,),

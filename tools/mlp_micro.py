@@ -1,9 +1,24 @@
-"""Micro-bench: SwinV2-L stage-2 Mlp fwd+bwd — exact erf vs tanh gelu vs none."""
+"""Micro-bench: transformer Mlp fwd+bwd — activation cost and MXU efficiency.
+
+    python tools/mlp_micro.py [B N D H] [acts...]
+
+acts: none relu tanh erf poly (poly = ops.activations.gelu on bf16 — the
+degree-7 Φ polynomial the models use in bfloat16 compute).
+Defaults: SwinV2-L stage-2 shapes (16, 576, 768, 3072), all acts.
+ViT-L/16@384: 16 577 1024 4096.
+"""
 import time, sys
-import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 
-B, N, D, H = 16, 576, 768, 3072
+args = sys.argv[1:]
+if len(args) >= 4 and args[0].isdigit():
+    B, N, D, H = map(int, args[:4])
+    acts = args[4:] or ["none", "relu", "tanh", "erf", "poly"]
+else:
+    B, N, D, H = 16, 576, 768, 3072
+    acts = args or ["none", "relu", "tanh", "erf", "poly"]
+
 r = np.random.default_rng(0)
 x = jnp.asarray(r.normal(size=(B, N, D)), jnp.bfloat16)
 w1 = jnp.asarray(r.normal(size=(D, H)) * 0.02, jnp.float32)
@@ -20,12 +35,15 @@ def make(act):
             h = jax.nn.gelu(h, approximate=True)
         elif act == "relu":
             h = jax.nn.relu(h)
+        elif act == "poly":
+            from fedvit_tpu.ops.activations import gelu
+            h = gelu(h)
         o = h.astype(jnp.bfloat16) @ w2.astype(jnp.bfloat16) + b2.astype(jnp.bfloat16)
         return (o.astype(jnp.float32) ** 2).mean()
     g = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))
     return g
 
-for act in ("none", "relu", "tanh", "erf"):
+for act in acts:
     g = make(act)
     outs = g(w1, b1, w2, b2, x)
     jax.block_until_ready(outs)
