@@ -586,6 +586,14 @@ def _wflat_groups(b: int, n: int, hb: int, d: int, h: int, itemsize: int):
 
 
 def _wflat_fwd_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref, o_ref):
+    # FEDVIT_WATTN_SOFTMAX=postdiv (experiment knob, tools/wattn_micro.py):
+    # keep the row-max shift but fold the 1/Σ normalization into the (N, d)
+    # output instead of the (N, N) probability tile — one fewer full-tile
+    # VPU pass per head. A static-shift "capped" variant (no max-reduce at
+    # all) was tried and is UNWORKABLE: the shift must cover the worst-case
+    # score (scale ≤ 100 + bias 16) while typical rows sit at |s| ≤ 26, so
+    # exp(s − 120) underflows ENTIRE ROWS to 0/0 at normal operating points.
+    variant = os.environ.get("FEDVIT_WATTN_SOFTMAX", "max")
     m = m_ref[0][None].astype(jnp.float32)
     outs = []
     for t in range(hb):
@@ -596,9 +604,16 @@ def _wflat_fwd_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref, o_ref):
         s = s + b_ref[t][None] + m
         mx = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - mx)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
-        o = jax.lax.dot_general(p, v_ref[:, :, sl], _BATCHED_PV,
-                                preferred_element_type=jnp.float32)
+        if variant == "postdiv":
+            inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[:, :, sl],
+                                    _BATCHED_PV,
+                                    preferred_element_type=jnp.float32)
+            o = o * inv
+        else:
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+            o = jax.lax.dot_general(p, v_ref[:, :, sl], _BATCHED_PV,
+                                    preferred_element_type=jnp.float32)
         outs.append(o.astype(o_ref.dtype))
     o_ref[:] = jnp.concatenate(outs, axis=-1)
 

@@ -1,11 +1,12 @@
-"""gelu: bf16 polynomial path must be indistinguishable from exact erf
-at bfloat16 precision; f32 path must BE exact erf."""
+"""gelu: the bf16 fast path (tanh form) must be indistinguishable from
+exact erf at bfloat16 precision; f32 path must BE exact erf. The retired
+degree-7 polynomial stays covered as the accuracy reference."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fedvit_tpu.ops.activations import gelu
+from fedvit_tpu.ops.activations import _gelu_poly, gelu
 
 
 def test_f32_path_is_exact_erf():
@@ -34,17 +35,22 @@ def test_bf16_path_within_one_ulp():
 
 
 def test_bf16_grad_matches_erf_grad():
-    # offset grid: at exactly x = ±4 the clip boundary zeroes the poly
-    # branch's gradient (an isolated measure-zero artifact); near the
-    # seams the fitted polynomial's derivative wiggles by ~1e-2 — both
-    # irrelevant to training, excluded/tolerated here
     xs = (np.linspace(-8, 8, 4001) + 1.7e-3).astype(np.float32)
     g_fast = np.asarray(jax.vmap(jax.grad(
         lambda x: gelu(x.astype(jnp.bfloat16)).astype(jnp.float32)))(
             jnp.asarray(xs)))
     g_ref = np.asarray(jax.vmap(jax.grad(
         lambda x: jax.nn.gelu(x, approximate=False)))(jnp.asarray(xs)))
-    np.testing.assert_allclose(g_fast, g_ref, atol=2e-2)
-    # away from the seams the bound is tight
-    core = np.abs(np.abs(xs) - 4.0) > 0.25
-    np.testing.assert_allclose(g_fast[core], g_ref[core], atol=8e-3)
+    # tanh-GELU's derivative is smooth; max deviation from the exact-erf
+    # derivative is ~4e-3 (no seams to exclude)
+    np.testing.assert_allclose(g_fast, g_ref, atol=8e-3)
+
+
+def test_poly_reference_still_subulp():
+    # the retired degree-7 polynomial remains the documented accuracy
+    # reference (PARITY.md) — keep its bound pinned
+    xs = np.linspace(-50, 50, 200001).astype(np.float32)
+    fast = np.asarray(_gelu_poly(jnp.asarray(xs)), np.float32)
+    exact = np.asarray(jax.nn.gelu(jnp.asarray(xs), approximate=False),
+                       np.float32)
+    assert np.abs(fast - exact).max() < 7e-4

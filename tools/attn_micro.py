@@ -43,7 +43,10 @@ def bench(fn, *a):
     def loop(z):
         acc = z
         for _ in range(20):
-            acc = acc + 0.0 * fn(acc, *a)
+            # scalar chaining: fwd output (B,N,E) differs from the packed
+            # qkv input (B,N,3E), so chain through a 0-scaled reduction
+            s = jnp.sum(fn(acc, *a).astype(jnp.float32)).astype(z.dtype)
+            acc = acc + 0.0 * s
         return acc
     lj = jax.jit(loop)
     o = lj(x); _ = float(jnp.sum(o.astype(jnp.float32)))

@@ -36,6 +36,9 @@ def make(act):
         elif act == "relu":
             h = jax.nn.relu(h)
         elif act == "poly":
+            from fedvit_tpu.ops.activations import _gelu_poly
+            h = _gelu_poly(h).astype(jnp.bfloat16)
+        elif act == "fedvit":
             from fedvit_tpu.ops.activations import gelu
             h = gelu(h)
         o = h.astype(jnp.bfloat16) @ w2.astype(jnp.bfloat16) + b2.astype(jnp.bfloat16)
