@@ -171,7 +171,13 @@ def _flat_groups(b: int, n: int, e: int, itemsize: int):
 
     FEDVIT_ATTN_G="f,b" overrides (0 keeps auto) — a tuning knob for
     on-hardware sweeps at new shapes (tools/attn_micro.py); the callers
-    raise the scoped-VMEM window to fit a forced group."""
+    raise the scoped-VMEM window to fit a forced group.
+
+    ViT-L@384 (N=577, E=1024, bs=16) sweep result (round 3, v5e): the auto
+    g=(1,1) is the only viable choice — every bwd group ≥ 2 fails Mosaic
+    compilation outright (live set ~45 MB + scratch exceeds what the
+    compiler will schedule), and forced (1,1) re-measured within run noise
+    of auto. No tuning headroom at large-N shapes; measured negative."""
     n_lanes = _round_up(n)
 
     def pick(blocks: int, tiles: int, budget_mb: int, cap: int) -> int:
@@ -589,8 +595,11 @@ def _wflat_fwd_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref, o_ref):
     # FEDVIT_WATTN_SOFTMAX=postdiv (experiment knob, tools/wattn_micro.py):
     # keep the row-max shift but fold the 1/Σ normalization into the (N, d)
     # output instead of the (N, N) probability tile — one fewer full-tile
-    # VPU pass per head. A static-shift "capped" variant (no max-reduce at
-    # all) was tried and is UNWORKABLE: the shift must cover the worst-case
+    # VPU pass per head. MEASURED NEGATIVE at SwinV2-L@384 shapes (round 3,
+    # v5e fwd): stage0 4.10→3.91 ms (−4.5%) but stage2 1.92→2.26 ms (+18%)
+    # — the f32 (N, d) rescale breaks the p→PV cast fusion where nW=1 —
+    # so "max" stays the default. A static-shift "capped" variant (no
+    # max-reduce at all) is UNWORKABLE: the shift must cover the worst-case
     # score (scale ≤ 100 + bias 16) while typical rows sit at |s| ≤ 26, so
     # exp(s − 120) underflows ENTIRE ROWS to 0/0 at normal operating points.
     variant = os.environ.get("FEDVIT_WATTN_SOFTMAX", "max")
