@@ -79,7 +79,7 @@ class ModelConfig:
     segmentation: SegBranchConfig = field(default_factory=SegBranchConfig)
     # compute dtype for matmuls/activations; params stay fp32
     compute_dtype: str = "bfloat16"
-    attention_impl: str = "auto"   # "auto" | "pallas" | "xla" | "mega"
+    attention_impl: str = "auto"   # "auto" | "pallas" | "xla" | "mega" | "packed"
                                    # (mega: ViT QKV projection fused into
                                    # the attention kernel)
     remat: bool = False            # rematerialize transformer blocks

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fedvit_tpu.ops.activations import gelu
-from fedvit_tpu.ops.attention import attention_from_qkv, attention_from_x
+from fedvit_tpu.ops.attention import (attention_from_qkv,
+                                      attention_from_qkvb, attention_from_x)
 
 # trunc-normal(0.02) — the reference head/backbone init (model.py:168-173)
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
@@ -122,13 +123,21 @@ class MultiHeadAttention(nn.Module):
             out = attention_from_x(x, w.astype(self.dtype),
                                    bias.astype(self.dtype), self.num_heads,
                                    impl="mega")
-        else:
+        elif self.attention_impl == "packed":
+            # plain packed path (bias in the projection epilogue) — kept as
+            # the A/B reference for the default biased kernel below
             qkv = nn.Dense(3 * d, dtype=self.dtype,
                            kernel_init=trunc_normal_init, name="qkv")(x)
-            # the fused kernel consumes the packed (B, N, 3E) projection
-            # output directly — zero layout/slice/concat ops on the hot path
-            out = attention_from_qkv(qkv, self.num_heads,
-                                     impl=self.attention_impl)
+            out = attention_from_qkv(qkv, self.num_heads, impl="auto")
+        else:
+            # default: bias-free projection matmul (XLA, stays fused with
+            # the preceding LayerNorm), bias added inside the attention
+            # kernel where its cotangent accumulates for free; the param
+            # tree ("qkv"/{kernel,bias}) is nn.Dense-identical
+            w, bias = _QKVParams(3 * d, name="qkv")(d)
+            qkv = jnp.dot(x, w.astype(self.dtype))
+            out = attention_from_qkvb(qkv, bias, self.num_heads,
+                                      impl=self.attention_impl)
         out = nn.Dense(d, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

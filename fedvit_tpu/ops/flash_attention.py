@@ -346,6 +346,142 @@ flash_attention_qkv.defvjp(_qkv_fwd_rule, _qkv_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
+# Packed QKV attention with the PROJECTION BIAS applied in-kernel.
+#
+# Motivation (round-3 ViT-B trace): with the bias added by the projection's
+# XLA epilogue, the projection VJP computes dbias = Σ_{B,N} dqkv as a
+# standalone reduce that re-reads the full (B, N, 3E) cotangent from HBM —
+# 2.9 ms/step at bs=192 (12 blocks × 174 MB at memory bandwidth). Here the
+# backward kernel already holds each dqkv block in VMEM, so the bias
+# cotangent accumulates across the batch grid for free (same revisited-
+# output pattern as the windowed kernel's dBias) and the HBM re-read
+# disappears. The caller's projection becomes bias-free (dense matmul
+# only); the parameter tree is unchanged (models/layers.py::_QKVParams).
+# ---------------------------------------------------------------------------
+
+
+def _qkvb_fwd_kernel(nheads, e, scale, qkv_ref, b_ref, o_ref):
+    d = e // nheads
+    qkv = qkv_ref[:] + b_ref[:][None]   # (g, N, 3E) + (1, 1, 3E)
+    outs = []
+    for t in range(nheads):
+        p = _head_probs(qkv, qkv,
+                        (slice(t * d, (t + 1) * d),
+                         slice(e + t * d, e + (t + 1) * d)), scale)
+        o = jax.lax.dot_general(p.astype(qkv.dtype),
+                                qkv[:, :, 2 * e + t * d: 2 * e + (t + 1) * d],
+                                _BATCHED_PV, preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
+
+
+def _qkvb_bwd_kernel(nheads, e, scale, qkv_ref, b_ref, do_ref,
+                     dqkv_ref, db_ref):
+    d = e // nheads
+    qkv = qkv_ref[:] + b_ref[:][None]
+    dqs, dks, dvs = [], [], []
+    for t in range(nheads):
+        qs = slice(t * d, (t + 1) * d)
+        ks = slice(e + t * d, e + (t + 1) * d)
+        vs = slice(2 * e + t * d, 2 * e + (t + 1) * d)
+        p = _head_probs(qkv, qkv, (qs, ks), scale)
+        do = do_ref[:, :, qs]
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, qkv[:, :, vs], _BATCHED_QKT,
+                                 preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - row)).astype(do.dtype)
+        dq = jax.lax.dot_general(ds, qkv[:, :, ks], _BATCHED_PV,
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qkv[:, :, qs], _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq.astype(dqkv_ref.dtype))
+        dks.append(dk.astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+    dqkv_ref[:] = dqkv
+    dsum = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))[None]   # (1, 3E)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        db_ref[:] = dsum
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        db_ref[:] = db_ref[:] + dsum
+
+
+def _bias_spec(e3: int):
+    return pl.BlockSpec((1, e3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def flash_attention_qkvb(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused attention on the BIAS-FREE packed (B, N, 3E) QKV projection
+    output plus the projection bias (3E,), added to the block in-kernel.
+
+    Mathematically identical to flash_attention_qkv(qkv + bias): the bias
+    broadcast-add runs on the VMEM-resident block (one VPU pass), and the
+    backward accumulates dbias = Σ_{B,N} dqkv across the batch grid in a
+    resident f32 block — the projection's bias-VJP HBM re-read of dqkv
+    never happens."""
+    out, _ = _qkvb_fwd_rule(qkv, bias, num_heads, interpret)
+    return out
+
+
+def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
+    b, n, e3 = qkv.shape
+    e = e3 // 3
+    scale = 1.0 / float(np.sqrt(e // num_heads))
+    g, _ = _flat_groups(b, n, e, qkv.dtype.itemsize)
+
+    interp = _interpret_flag(interpret)
+    bias2 = bias.reshape(1, e3).astype(qkv.dtype)
+    out = pl.pallas_call(
+        functools.partial(_qkvb_fwd_kernel, num_heads, e, scale),
+        grid=(b // g,),
+        in_specs=[_flat_spec(g, n, e3), _bias_spec(e3)],
+        out_specs=_flat_spec(g, n, e),
+        out_shape=jax.ShapeDtypeStruct((b, n, e), qkv.dtype),
+        interpret=interp,
+        **_scoped_vmem_kwargs(
+            _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 4, 2), interp),
+    )(qkv, bias2)
+    return out, (qkv, bias)
+
+
+def _qkvb_bwd_rule(num_heads, interpret, res, grad_out):
+    qkv, bias = res
+    bias2 = bias.reshape(1, -1).astype(qkv.dtype)
+    b, n, e3 = qkv.shape
+    e = e3 // 3
+    scale = 1.0 / float(np.sqrt(e // num_heads))
+    _, g = _flat_groups(b, n, e, qkv.dtype.itemsize)
+
+    interp = _interpret_flag(interpret)
+    kwargs = _scoped_vmem_kwargs(
+        _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 7, 4), interp,
+        floor_mb=64)
+    dqkv, db = pl.pallas_call(
+        functools.partial(_qkvb_bwd_kernel, num_heads, e, scale),
+        grid=(b // g,),
+        in_specs=[_flat_spec(g, n, e3), _bias_spec(e3), _flat_spec(g, n, e)],
+        out_specs=[_flat_spec(g, n, e3), _bias_spec(e3)],
+        out_shape=[jax.ShapeDtypeStruct((b, n, e3), qkv.dtype),
+                   jax.ShapeDtypeStruct((1, e3), jnp.float32)],
+        interpret=interp,
+        **kwargs,
+    )(qkv, bias2, grad_out.astype(qkv.dtype))
+    return dqkv, db.reshape(bias.shape).astype(bias.dtype)
+
+
+flash_attention_qkvb.defvjp(_qkvb_fwd_rule, _qkvb_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # Mega-kernel: QKV projection + attention in ONE Pallas program.
 #
 # The packed (B, N, 3E) projection output never exists in HBM in either

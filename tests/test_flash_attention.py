@@ -438,3 +438,63 @@ def test_mega_attention_impl_in_vit_block():
     np.testing.assert_allclose(np.asarray(o_mega["logits"]),
                                np.asarray(o_ref["logits"]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_qkvb_matches_qkv_plus_bias(monkeypatch):
+    """flash_attention_qkvb(qkv, bias) must equal attention over qkv+bias in
+    forward and in the dqkv/dbias backward — with the batch grid forced to
+    multiple steps so the in-kernel dbias accumulation is exercised."""
+    from fedvit_tpu.ops.attention import attention_from_qkv
+    from fedvit_tpu.ops.flash_attention import flash_attention_qkvb
+
+    monkeypatch.setenv("FEDVIT_ATTN_G", "1,1")   # 4 grid steps at b=4
+    b, n, e, h = 4, 50, 64, 2
+    rng = np.random.default_rng(62)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * e)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(3 * e,)) * 0.1, jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(b, n, e)), jnp.float32)
+
+    out_p, vjp_pal = jax.vjp(
+        lambda t, c: flash_attention_qkvb(t, c, h, interpret=True), qkv, bias)
+    out_x, vjp_xla = jax.vjp(
+        lambda t, c: attention_from_qkv(t + c.reshape(1, 1, -1), h,
+                                        impl="xla"), qkv, bias)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    for a, r, name in zip(vjp_pal(ct), vjp_xla(ct), ["qkv", "bias"]):
+        assert a.shape == r.shape, f"d{name} shape {a.shape} vs {r.shape}"
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=3e-4, atol=3e-4, err_msg=f"d{name}")
+
+
+def test_default_attention_composition_matches_packed():
+    """The default MHA composition (bias-free projection + in-kernel bias)
+    must keep the nn.Dense-identical param tree and reproduce the 'packed'
+    (Dense epilogue bias) logits exactly in f32."""
+    from fedvit_tpu.core.config import from_dict
+    from fedvit_tpu.models import build_model
+
+    def build(impl):
+        cfg = from_dict({
+            "model": {"backbone": "vit_tiny_patch16_224", "image_size": 224,
+                      "compute_dtype": "float32", "attention_impl": impl,
+                      "metadata": {"enabled": False}},
+        })
+        return build_model(cfg)
+
+    rng = jax.random.key(0)
+    x = jnp.asarray(np.random.default_rng(5).uniform(size=(2, 224, 224, 3)),
+                    jnp.float32)
+    m_ref = build("packed")
+    v_ref = m_ref.init({"params": rng, "dropout": rng}, x, None)
+    m_new = build("auto")
+    v_new = m_new.init({"params": rng, "dropout": rng}, x, None)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        v_ref["params"], v_new["params"])
+    o_ref = m_ref.apply(v_ref, x, None, deterministic=True)
+    o_new = m_new.apply(v_new, x, None, deterministic=True)
+    np.testing.assert_allclose(np.asarray(o_new["logits"]),
+                               np.asarray(o_ref["logits"]),
+                               rtol=2e-5, atol=2e-5)
