@@ -75,13 +75,17 @@ _BATCHED_PV = (((2,), (1,)), ((0,), (0,)))    # (G,N,M)·(G,M,D) → (G,N,D)
 _BATCHED_PTDO = (((1,), (1,)), ((0,), (0,)))  # (G,N,M)ᵀ·(G,N,D) → (G,M,D)
 
 
-def _head_probs(q_ref, k_ref, sl, scale):
-    qsl, ksl = sl if isinstance(sl, tuple) else (sl, sl)
-    s = jax.lax.dot_general(q_ref[:, :, qsl], k_ref[:, :, ksl], _BATCHED_QKT,
+def _probs(q, k, scale):
+    s = jax.lax.dot_general(q, k, _BATCHED_QKT,
                             preferred_element_type=jnp.float32) * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _head_probs(q_ref, k_ref, sl, scale):
+    qsl, ksl = sl if isinstance(sl, tuple) else (sl, sl)
+    return _probs(q_ref[:, :, qsl], k_ref[:, :, ksl], scale)
 
 
 def _flat_fwd_kernel(nheads, scale, q_ref, k_ref, v_ref, o_ref):
@@ -361,40 +365,53 @@ flash_attention_qkv.defvjp(_qkv_fwd_rule, _qkv_bwd_rule)
 
 
 def _qkvb_fwd_kernel(nheads, e, scale, qkv_ref, b_ref, o_ref):
+    # The bias ref is pre-tiled to (1, N, 3E) by the caller and added per
+    # (g, N, d) head slice — never as a whole-block qkv + b temp: a
+    # (g, N, 3E) biased copy is an extra block the live-set estimate
+    # doesn't budget (measured: 884K over the 16M scoped window at ViT-B
+    # bs=192 g=4, a compile failure), and a (1, 1, 3E) row can't be
+    # lane-sliced + sublane-broadcast by Mosaic ("Invalid input layout").
+    # The (1, N, d) slice broadcasts only along the untiled leading dim.
     d = e // nheads
-    qkv = qkv_ref[:] + b_ref[:][None]   # (g, N, 3E) + (1, 1, 3E)
     outs = []
     for t in range(nheads):
-        p = _head_probs(qkv, qkv,
-                        (slice(t * d, (t + 1) * d),
-                         slice(e + t * d, e + (t + 1) * d)), scale)
-        o = jax.lax.dot_general(p.astype(qkv.dtype),
-                                qkv[:, :, 2 * e + t * d: 2 * e + (t + 1) * d],
-                                _BATCHED_PV, preferred_element_type=jnp.float32)
+        qs = slice(t * d, (t + 1) * d)
+        ks = slice(e + t * d, e + (t + 1) * d)
+        vs = slice(2 * e + t * d, 2 * e + (t + 1) * d)
+        q = qkv_ref[:, :, qs] + b_ref[:, :, qs]
+        k = qkv_ref[:, :, ks] + b_ref[:, :, ks]
+        v = qkv_ref[:, :, vs] + b_ref[:, :, vs]
+        p = _probs(q, k, scale)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, _BATCHED_PV,
+                                preferred_element_type=jnp.float32)
         outs.append(o.astype(o_ref.dtype))
     o_ref[:] = jnp.concatenate(outs, axis=-1)
 
 
 def _qkvb_bwd_kernel(nheads, e, scale, qkv_ref, b_ref, do_ref,
                      dqkv_ref, db_ref):
+    # same per-head-slice bias application as the forward (no whole-block
+    # biased temp); b_ref is the (1, N, 3E) pre-tiled bias
     d = e // nheads
-    qkv = qkv_ref[:] + b_ref[:][None]
     dqs, dks, dvs = [], [], []
     for t in range(nheads):
         qs = slice(t * d, (t + 1) * d)
         ks = slice(e + t * d, e + (t + 1) * d)
         vs = slice(2 * e + t * d, 2 * e + (t + 1) * d)
-        p = _head_probs(qkv, qkv, (qs, ks), scale)
+        q = qkv_ref[:, :, qs] + b_ref[:, :, qs]
+        k = qkv_ref[:, :, ks] + b_ref[:, :, ks]
+        v = qkv_ref[:, :, vs] + b_ref[:, :, vs]
+        p = _probs(q, k, scale)
         do = do_ref[:, :, qs]
         dv = jax.lax.dot_general(p.astype(do.dtype), do, _BATCHED_PTDO,
                                  preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, qkv[:, :, vs], _BATCHED_QKT,
+        dp = jax.lax.dot_general(do, v, _BATCHED_QKT,
                                  preferred_element_type=jnp.float32)
         row = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = (p * (dp - row)).astype(do.dtype)
-        dq = jax.lax.dot_general(ds, qkv[:, :, ks], _BATCHED_PV,
+        dq = jax.lax.dot_general(ds, k, _BATCHED_PV,
                                  preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds, qkv[:, :, qs], _BATCHED_PTDO,
+        dk = jax.lax.dot_general(ds, q, _BATCHED_PTDO,
                                  preferred_element_type=jnp.float32) * scale
         dqs.append(dq.astype(dqkv_ref.dtype))
         dks.append(dk.astype(dqkv_ref.dtype))
@@ -415,6 +432,20 @@ def _qkvb_bwd_kernel(nheads, e, scale, qkv_ref, b_ref, do_ref,
 
 def _bias_spec(e3: int):
     return pl.BlockSpec((1, e3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _tiled_bias_spec(n: int, e3: int):
+    # (1, N, 3E) bias tile, revisited (constant index_map → one DMA)
+    return pl.BlockSpec((1, n, e3), lambda i: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _tile_bias(bias: jnp.ndarray, n: int, dtype) -> jnp.ndarray:
+    """Tile the (3E,) projection bias to (1, N, 3E) so the kernel's
+    per-head lane slices broadcast only along the leading dim (Mosaic
+    can't sublane-broadcast a lane-sliced (1, 1, d) row)."""
+    e3 = bias.shape[-1]
+    return jnp.broadcast_to(bias.astype(dtype).reshape(1, 1, e3), (1, n, e3))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -439,36 +470,42 @@ def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
     g, _ = _flat_groups(b, n, e, qkv.dtype.itemsize)
 
     interp = _interpret_flag(interpret)
-    bias2 = bias.reshape(1, e3).astype(qkv.dtype)
+    bias2 = _tile_bias(bias, n, qkv.dtype)
     out = pl.pallas_call(
         functools.partial(_qkvb_fwd_kernel, num_heads, e, scale),
         grid=(b // g,),
-        in_specs=[_flat_spec(g, n, e3), _bias_spec(e3)],
+        in_specs=[_flat_spec(g, n, e3), _tiled_bias_spec(n, e3)],
         out_specs=_flat_spec(g, n, e),
         out_shape=jax.ShapeDtypeStruct((b, n, e), qkv.dtype),
         interpret=interp,
+        # measured on v5e at ViT-B bs=192 g=4: real scoped usage is 16.16M
+        # (bias tile + per-head biased q/k/v temps exceed the 25% margin),
+        # so the window is floored at 20 MB
         **_scoped_vmem_kwargs(
-            _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 4, 2), interp),
+            _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 4, 2)
+            + n * 3 * e * qkv.dtype.itemsize, interp, floor_mb=20),
     )(qkv, bias2)
     return out, (qkv, bias)
 
 
 def _qkvb_bwd_rule(num_heads, interpret, res, grad_out):
     qkv, bias = res
-    bias2 = bias.reshape(1, -1).astype(qkv.dtype)
     b, n, e3 = qkv.shape
+    bias2 = _tile_bias(bias, n, qkv.dtype)
     e = e3 // 3
     scale = 1.0 / float(np.sqrt(e // num_heads))
     _, g = _flat_groups(b, n, e, qkv.dtype.itemsize)
 
     interp = _interpret_flag(interpret)
     kwargs = _scoped_vmem_kwargs(
-        _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 7, 4), interp,
+        _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 7, 4)
+        + n * 3 * e * qkv.dtype.itemsize, interp,
         floor_mb=64)
     dqkv, db = pl.pallas_call(
         functools.partial(_qkvb_bwd_kernel, num_heads, e, scale),
         grid=(b // g,),
-        in_specs=[_flat_spec(g, n, e3), _bias_spec(e3), _flat_spec(g, n, e)],
+        in_specs=[_flat_spec(g, n, e3), _tiled_bias_spec(n, e3),
+                  _flat_spec(g, n, e)],
         out_specs=[_flat_spec(g, n, e3), _bias_spec(e3)],
         out_shape=[jax.ShapeDtypeStruct((b, n, e3), qkv.dtype),
                    jax.ShapeDtypeStruct((1, e3), jnp.float32)],
