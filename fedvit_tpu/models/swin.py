@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from fedvit_tpu.ops.layer_norm import LayerNorm
 from fedvit_tpu.models.layers import DropPath, Mlp, trunc_normal_init
 from fedvit_tpu.ops.attention import windowed_attention_flat
 
@@ -279,12 +280,12 @@ class SwinBlockV2(nn.Module):
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         # post-norm (v2)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
 
         y = Mlp(int(c * self.mlp_ratio), dropout=0.0, dtype=self.dtype,
                 name="mlp")(x, deterministic)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x
 
@@ -299,7 +300,7 @@ class PatchMergingV2(nn.Module):
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
         x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                      kernel_init=trunc_normal_init, name="reduction")(x)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class SwinStage(nn.Module):
@@ -370,7 +371,7 @@ class SwinTransformerV2(nn.Module):
         x = nn.Dense(self.embed_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init,
                      name="patch_embed")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+        x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(1, total - 1)
@@ -391,7 +392,7 @@ class SwinTransformerV2(nn.Module):
                 name=f"layers_{s}")(x, deterministic)
             di += depth
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         feats = x.reshape(b, -1, x.shape[-1]).mean(axis=1)  # global avg pool
         return feats.astype(jnp.float32)
 

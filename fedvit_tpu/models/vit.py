@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fedvit_tpu.ops.layer_norm import LayerNorm
 from fedvit_tpu.models.layers import (DropPath, Mlp, MultiHeadAttention,
                                       trunc_normal_init)
 
@@ -56,11 +57,11 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.shape[-1]
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = MultiHeadAttention(self.num_heads, self.dropout, self.dtype,
                                self.attention_impl, name="attn")(y, deterministic)
         x = x + DropPath(self.drop_path)(y, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(d * self.mlp_ratio), dropout=self.dropout,
                 dtype=self.dtype, name="mlp")(y, deterministic)
         x = x + DropPath(self.drop_path)(y, deterministic)
@@ -117,7 +118,7 @@ class VisionTransformer(nn.Module):
             x = block_cls(self.num_heads, self.mlp_ratio, self.dropout, dpr[i],
                           self.dtype, self.attention_impl, name=f"blocks_{i}")(
                               x, deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
 
         if return_tokens:
             return x
