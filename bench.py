@@ -83,6 +83,31 @@ _BENCH_MODELS = {
         "fwd_flops": _swinv2_l384_fwd_flops(),
         "has_baseline": False,
     },
+    # serving path: forward-only (deterministic eval apply, the program
+    # cli/predict.py runs per batch) — no optimizer/grad memory, so batch
+    # candidates are larger; MFU uses 1× fwd FLOPs
+    "vit_infer": {
+        "metric": "vit_b16_224_infer_images_per_sec_per_chip",
+        "backbone": "vit_base_patch16_224",
+        "image_size": 224,
+        "drop_path_rate": 0.0,
+        "llrd_decay": 0.75,
+        "batch_candidates": [512, 256, 128, 64],
+        "fwd_flops": _vit_b16_fwd_flops(),
+        "has_baseline": False,
+        "infer": True,
+    },
+    "swinv2_infer": {
+        "metric": "swinv2_l384_infer_images_per_sec_per_chip",
+        "backbone": "swinv2_large_window12to24_192to384",
+        "image_size": 384,
+        "drop_path_rate": 0.0,
+        "llrd_decay": 0.8,
+        "batch_candidates": [64, 32, 16],
+        "fwd_flops": _swinv2_l384_fwd_flops(),
+        "has_baseline": False,
+        "infer": True,
+    },
 }
 
 
@@ -143,10 +168,50 @@ def main() -> None:
     host_stats = jax.tree.map(np.asarray, variables["batch_stats"])
     del variables
 
+    infer = bool(spec.get("infer"))
+
+    def run_infer_candidate(bs: int) -> float:
+        """Forward-only serving throughput: the deterministic eval apply
+        (train=False, EMA-style frozen batch_stats) that cli/predict.py
+        dispatches per batch. Function-local allocations as in the train
+        candidate so OOMs can't poison later candidates."""
+        params = jax.tree.map(jnp.asarray, host_params)
+        stats = jax.tree.map(jnp.asarray, host_stats)
+
+        @jax.jit
+        def fwd(p, bstats, img, meta):
+            out = model.apply({"params": p, "batch_stats": bstats},
+                              img, meta, deterministic=True)
+            return out["logits"]
+
+        data_rng = np.random.default_rng(0)
+        img = jnp.asarray(
+            data_rng.uniform(size=(bs, size, size, 4)).astype(np.float32))
+        meta = jnp.asarray(
+            data_rng.uniform(size=(bs, 13)).astype(np.float32))
+        logits = fwd(params, stats, img, meta)
+        float(logits.sum())                    # compile + await (see below)
+
+        def measure():
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(steps):
+                out = fwd(params, stats, img, meta)
+            s = float(out.sum())               # host fetch awaits the queue
+            assert np.isfinite(s)
+            return time.perf_counter() - t0
+
+        dt = measure()
+        if dt / steps < 0.002:                 # async didn't await; retry
+            dt = measure()
+        return bs * steps / dt
+
     def run_candidate(bs: int) -> float:
         """Measure one batch size. Everything it allocates is function-local
         so a failed (OOM) attempt cannot pin HBM for later candidates
         (VERDICT r2 weak #2: a failed bs=256 used to poison bs=64)."""
+        if infer:
+            return run_infer_candidate(bs)
         state = TrainState.create(
             model.apply, jax.tree.map(jnp.asarray, host_params),
             jax.tree.map(jnp.asarray, host_stats), tx, jax.random.key(1))
@@ -237,8 +302,9 @@ def main() -> None:
             print(f"[bench] baseline measurement failed: {e}", file=sys.stderr)
 
     # ONE MFU formula for every model: analytic fwd FLOPs (mult+add),
-    # train step ≈ 3× fwd; v5e bf16 peak 197 TFLOP/s
-    mfu = 3 * spec["fwd_flops"] * best[1] / 197e12
+    # train step ≈ 3× fwd (inference = 1× fwd); v5e bf16 peak 197 TFLOP/s
+    flops_per_img = (1 if infer else 3) * spec["fwd_flops"]
+    mfu = flops_per_img * best[1] / 197e12
     print(f"[bench] MFU ~ {100*mfu:.1f}% (v5e 197 TFLOP/s peak)",
           file=sys.stderr)
 
