@@ -101,7 +101,7 @@ def main(argv=None) -> int:
     test_source = (HostDataSource(test_df, cfg) if len(test_df) > 0 else None)
 
     fold_list = list(range(n_folds)) if args.fold < 0 else [args.fold]
-    all_logits = []
+    fold_results = []
     import contextlib
     from fedvit_tpu.utils.profiling import trace
     profile_cm = trace(args.profile) if args.profile else contextlib.nullcontext()
@@ -111,18 +111,18 @@ def main(argv=None) -> int:
             trn_src = HostDataSource(train_full_df.iloc[trn_idx], cfg)
             val_src = HostDataSource(train_full_df.iloc[val_idx], cfg)
             fold_log = setup_logging(os.path.join(args.log, f"fold{f}"), fold=f)
-            logits = train_fold(cfg, f, trn_src, val_src, test_source,
-                                workdir=os.path.join(args.log, f"fold{f}"),
-                                log=fold_log.info, resume=args.resume)
-            all_logits.append(logits)
+            fold_results.append(train_fold(
+                cfg, f, trn_src, val_src, test_source,
+                workdir=os.path.join(args.log, f"fold{f}"),
+                log=fold_log.info, resume=args.resume))
     if args.profile:
         log(f"  Profiler trace written → {args.profile}")
 
     has_gt = has_real_test_labels(test_df)
     if test_source is not None and has_gt:
-        aggregate_fold_metrics(all_logits, test_df["label"].values,
+        aggregate_fold_metrics(fold_results, test_df["label"].values,
                                cfg.num_classes, log)
-    ens = (ensemble_folds(all_logits, test_df["label"].values,
+    ens = (ensemble_folds(fold_results, test_df["label"].values,
                           cfg.num_classes, log, compute=has_gt)
            if test_source is not None else {})
     if ens:

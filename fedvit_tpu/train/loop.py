@@ -18,6 +18,7 @@ Parity targets:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 import time
@@ -101,15 +102,18 @@ def _softmax(logits: np.ndarray) -> np.ndarray:
     return e / e.sum(-1, keepdims=True)
 
 
-def _as_probs(scores: np.ndarray) -> np.ndarray:
-    """Fold outputs are probs (no-TTA path) or raw logits (TTA path); AUROC
-    is rank-based per class, so re-softmaxing probs would reorder them.
-    Detect an already-normalized matrix and pass it through unchanged."""
-    scores = np.asarray(scores)
-    if scores.size and (scores >= 0).all() and \
-            np.allclose(scores.sum(-1), 1.0, atol=1e-3):
-        return scores
-    return _softmax(scores)
+@dataclasses.dataclass
+class FoldResult:
+    """Structured per-fold output. `logits` are ALWAYS the raw (pre-softmax)
+    test logits — the reference's fold contract (train.py:446-455 averages
+    raw logits across folds); `probs` is their softmax (what AUROC consumes);
+    `metrics` holds the fold's test metrics ({} when no test ground truth)."""
+    logits: np.ndarray
+    probs: np.ndarray
+    metrics: Dict = dataclasses.field(default_factory=dict)
+
+    def __len__(self) -> int:          # "fold produced test outputs?"
+        return len(self.logits)
 
 
 @functools.lru_cache(maxsize=8)
@@ -182,9 +186,10 @@ def evaluate_with_tta(cfg: Config, model, params, batch_stats, source,
 def train_fold(cfg: Config, fold: int, train_source, val_source,
                test_source=None, workdir: Optional[str] = None,
                log: Callable[[str], None] = print,
-               resume: bool = False) -> np.ndarray:
-    """Train one CV fold end-to-end; returns test-set logits (N, C) —
-    the contract of reference train_fold (train.py:221-371)."""
+               resume: bool = False) -> FoldResult:
+    """Train one CV fold end-to-end; returns a FoldResult whose `.logits`
+    are the raw test-set logits (N, C) — the contract of reference
+    train_fold (train.py:221-371)."""
     t = cfg.training
     accum = max(1, t.gradient_accumulation_steps)
     # the train step consumes MACRO batches of physical_bs * accum and does
@@ -325,26 +330,27 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
 
     if test_source is None or len(test_source) == 0:
         log("  No test data available — skipping test evaluation.")
-        return np.zeros((0, cfg.num_classes))
+        empty = np.zeros((0, cfg.num_classes))
+        return FoldResult(logits=empty, probs=empty.copy())
 
     eval_params = state.eval_params()
     if cfg.training.tta.enabled:
         log("  Running TTA on test set…")
         preds, labels, logits = evaluate_with_tta(
             cfg, model, eval_params, state.batch_stats, test_source)
-        probs = _softmax(np.asarray(logits))
     else:
         log("  Evaluating on test set (no TTA)…")
         # the reference's no-TTA branch builds one-hot "logits" from preds
-        # (train.py:355-358); we return real probabilities instead
+        # (train.py:355-358); we return the real raw logits instead
         test_eval_step = make_eval_step(model.apply, cfg, cross_entropy_loss)
         res = _evaluate(test_eval_step, augment_eval, eval_params,
                         state.batch_stats, test_source, t.batch_size,
                         cfg.num_classes, loss_fn=cross_entropy_loss)
-        logits = res["probs"]
-        probs = np.asarray(logits)          # already softmaxed
+        logits = res["logits"]
         preds = logits.argmax(-1).tolist()
         labels = [int(l) for l in test_source.labels]
+    logits = np.asarray(logits)
+    probs = _softmax(logits)
 
     # AUROC (the north-star metric, printed at every reference fold test —
     # train.py:361-366) requires probs; VERDICT r2 missing #2
@@ -358,7 +364,7 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
     log("\n" + classification_report(np.asarray(labels), np.asarray(preds),
                                      list(cfg.class_names)))
     log(f"  Confusion Matrix:\n{m['confusion_matrix']}")
-    return logits
+    return FoldResult(logits=logits, probs=probs, metrics=m)
 
 
 def optax_identity():
@@ -366,13 +372,15 @@ def optax_identity():
     return optax.identity()
 
 
-def ensemble_folds(fold_logits, test_labels, num_classes: int,
-                   log: Callable[[str], None] = print,
+def ensemble_folds(fold_results: List[FoldResult], test_labels,
+                   num_classes: int, log: Callable[[str], None] = print,
                    compute: bool = True) -> Dict:
-    """Fold-averaged logit ensemble (reference main, train.py:446-472).
+    """Fold-averaged RAW-logit ensemble (reference main, train.py:446-472):
+    the ensemble is the mean of each fold's raw logits; its probabilities
+    (for AUROC) are the softmax of that mean.
 
     Returns {} when no fold produced test logits."""
-    valid = [lg for lg in fold_logits if len(lg) > 0]
+    valid = [r.logits for r in fold_results if len(r) > 0]
     if not valid:
         return {}
     avg = np.mean(valid, axis=0)
@@ -380,7 +388,7 @@ def ensemble_folds(fold_logits, test_labels, num_classes: int,
     if compute:
         preds = avg.argmax(axis=1)
         m = compute_metrics(np.asarray(test_labels), preds, num_classes,
-                            _as_probs(avg))
+                            _softmax(avg))
         out["ensemble_metrics"] = m
         log(f"\n  {len(valid)}-Fold ENSEMBLE — acc {m['accuracy']:.4f} | "
             f"bal {m['balanced_accuracy']:.4f} | f1 {m['macro_f1']:.4f} | "
@@ -396,29 +404,32 @@ def run_experiment(cfg: Config, sources_per_fold, test_source=None,
     train_old.py:685-759). sources_per_fold: list of (train_source,
     val_source)."""
     fold_list = (list(range(len(sources_per_fold))) if fold < 0 else [fold])
-    all_logits = []
+    fold_results: List[FoldResult] = []
     for f in fold_list:
         tr, va = sources_per_fold[f]
-        logits = train_fold(cfg, f, tr, va, test_source, workdir, log)
-        all_logits.append(logits)
+        fold_results.append(train_fold(cfg, f, tr, va, test_source,
+                                       workdir, log))
 
-    result: Dict = {"fold_logits": all_logits}
+    result: Dict = {"fold_results": fold_results,
+                    "fold_logits": [r.logits for r in fold_results]}
     if test_source is not None and len(test_source) > 0:
-        result.update(aggregate_fold_metrics(all_logits, test_source.labels,
+        result.update(aggregate_fold_metrics(fold_results,
+                                             test_source.labels,
                                              cfg.num_classes, log))
-        result.update(ensemble_folds(all_logits, test_source.labels,
+        result.update(ensemble_folds(fold_results, test_source.labels,
                                      cfg.num_classes, log))
     return result
 
 
-def aggregate_fold_metrics(fold_logits, test_labels, num_classes: int,
+def aggregate_fold_metrics(fold_results: List[FoldResult], test_labels,
+                           num_classes: int,
                            log: Callable[[str], None] = print) -> Dict:
     """Per-fold test metrics + mean±std aggregate (old-gen train_kfold,
     reference train_old.py:685-759)."""
     labels = np.asarray(test_labels)
-    fold_metrics = [compute_metrics(labels, np.asarray(lg).argmax(-1),
-                                    num_classes, _as_probs(lg))
-                    for lg in fold_logits if len(lg) > 0]
+    fold_metrics = [compute_metrics(labels, r.logits.argmax(-1),
+                                    num_classes, r.probs)
+                    for r in fold_results if len(r) > 0]
     if not fold_metrics:
         return {}
     agg_keys = ["accuracy", "balanced_accuracy", "macro_f1"]

@@ -56,10 +56,14 @@ def test_train_fold_end_to_end(tmp_path, sources):
     train, val, test = sources
     cfg = loop_cfg(tmp_path, epochs=2)
     logs = []
-    logits = train_fold(cfg, 0, train, val, test,
-                        workdir=str(tmp_path), log=logs.append)
-    assert logits.shape == (33, 8)
-    assert np.isfinite(logits).all()
+    res = train_fold(cfg, 0, train, val, test,
+                     workdir=str(tmp_path), log=logs.append)
+    assert res.logits.shape == (33, 8)
+    assert np.isfinite(res.logits).all()
+    # FoldResult contract: logits RAW, probs their softmax, metrics present
+    assert np.allclose(res.probs.sum(-1), 1.0, atol=1e-5)
+    assert not np.allclose(res.logits.sum(-1), 1.0, atol=1e-3)
+    assert "auroc" in res.metrics
     text = "\n".join(logs)
     assert "New best" in text
     assert "Running TTA" in text
@@ -90,6 +94,11 @@ def test_run_experiment_ensemble(tmp_path, sources):
     assert len(res["fold_logits"]) == 2
     assert res["ensemble_logits"].shape == (33, 8)
     assert "ensemble_metrics" in res
+    # the ensemble is the mean of the folds' RAW logits (reference
+    # train.py:446-455 contract) — not of probabilities
+    np.testing.assert_allclose(
+        res["ensemble_logits"], np.mean(res["fold_logits"], axis=0))
+    assert not np.allclose(res["ensemble_logits"].sum(-1), 1.0, atol=1e-3)
     # AUROC (north-star metric) must appear at every reporting level:
     # ensemble, per-fold test, and the mean±std aggregate (VERDICT r2 #2)
     assert "auroc" in res["ensemble_metrics"]
