@@ -72,6 +72,11 @@ class ModelConfig:
     image_size: int = 224
     num_classes: int = 8
     pretrained: bool = False
+    # converted pretrained checkpoint (written by cli.import_weights from a
+    # torch/timm .pt/.bin/.safetensors file) to start every fold from —
+    # the deployable form of the reference's `pretrained: true` production
+    # path (/root/reference/config.yaml:31, model.py:112-166)
+    pretrained_path: str = ""
     drop_path_rate: float = 0.1
     pool: str = "cls"              # "cls" | "mean" (token pooling)
     metadata: MetadataConfig = field(default_factory=MetadataConfig)

@@ -129,6 +129,14 @@ def train_federated(
 
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
+    if cfg.model.pretrained_path:
+        # same converted-checkpoint starting point as train_fold
+        # (cli.import_weights; reference config.yaml:31 `pretrained: true`)
+        loaded = ckpt.load_pretrained(
+            cfg.model.pretrained_path,
+            {"params": params, "batch_stats": bstats}, cfg)
+        params, bstats = loaded["params"], loaded["batch_stats"]
+        log_fn(f"[fed] pretrained init ← {cfg.model.pretrained_path}")
     ema_enabled = cfg.training.ema.enabled
     ema_params = ema_init(params) if ema_enabled else None
     eval_step = make_eval_step(model.apply, cfg)

@@ -237,3 +237,144 @@ def import_torch_isic(state_dict: Dict[str, Any], variables: Dict[str, Any],
 
     return {"params": traverse_util.unflatten_dict(flat),
             "batch_stats": traverse_util.unflatten_dict(stats)}
+
+
+# ---------------------------------------------------------------------------
+# File-level import — torch/timm weights file → our ISICClassifier variables
+#
+# The deployable form of the reference's production path: config.yaml:31 sets
+# `pretrained: true`, timm downloads the checkpoint, and
+# `_modify_input_channels` widens the patch embed to 4 channels
+# (model.py:112-124,150-166). On a TPU host the download happens elsewhere;
+# these functions take the resulting FILE and produce our param pytrees.
+# ---------------------------------------------------------------------------
+
+def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch `.pt`/`.pth`/`.bin`, `.safetensors`, or `.npz` weights
+    file into a flat {name: np.ndarray} state dict (no torch tensors leak
+    out, so the rest of the pipeline never needs torch at runtime)."""
+    p = str(path)
+    if p.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(p))
+    if p.endswith(".npz"):
+        return dict(np.load(p))
+    import torch
+    obj = torch.load(p, map_location="cpu", weights_only=True)
+    return {k: _to_np(v) for k, v in _unwrap_state_dict(obj).items()}
+
+
+def _unwrap_state_dict(obj) -> Dict[str, Any]:
+    """Unwrap the containers real checkpoints ship in: {"state_dict": ...},
+    {"model": ...} (timm's hub format), DDP "module." prefixes."""
+    for key in ("state_dict", "model", "model_state_dict"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    return {(k[len("module."):] if k.startswith("module.") else k): v
+            for k, v in obj.items()}
+
+
+def expand_source_patch_embed(sd: Dict[str, np.ndarray], new_in: int = 4
+                              ) -> Dict[str, np.ndarray]:
+    """The reference's `_modify_input_channels` surgery (model.py:150-166)
+    applied to the SOURCE torch conv kernel (D, C, P, P): RGB kernels kept,
+    each extra channel initialized to the mean of the RGB kernels."""
+    key = "patch_embed.proj.weight"
+    if key not in sd:
+        return sd
+    w = np.asarray(sd[key])
+    if w.ndim != 4 or w.shape[1] >= new_in:
+        return sd
+    mean = w.mean(axis=1, keepdims=True)
+    extra = np.repeat(mean, new_in - w.shape[1], axis=1)
+    out = dict(sd)
+    out[key] = np.concatenate([w, extra], axis=1)
+    return out
+
+
+def resample_vit_pos_embed(pos: np.ndarray, n_tokens_new: int) -> np.ndarray:
+    """Bicubic-resample a ViT absolute position embedding (1, 1+N, D) to a
+    new grid (1, 1+M, D), cls token kept — timm's `resample_abs_pos_embed`
+    semantics, so e.g. a 224px checkpoint can initialize a 384px model."""
+    import jax
+    import jax.numpy as jnp_
+    cls_tok, grid = pos[:, :1], pos[:, 1:]
+    g_old = int(round(float(np.sqrt(grid.shape[1]))))
+    g_new = int(round(float(np.sqrt(n_tokens_new))))
+    assert g_old * g_old == grid.shape[1], "non-square source pos-embed grid"
+    assert g_new * g_new == n_tokens_new, "non-square target pos-embed grid"
+    if g_old == g_new:
+        return pos
+    d = grid.shape[-1]
+    resized = jax.image.resize(jnp_.asarray(grid.reshape(1, g_old, g_old, d),
+                                            jnp_.float32),
+                               (1, g_new, g_new, d), method="bicubic")
+    return np.concatenate([cls_tok,
+                           np.asarray(resized).reshape(1, g_new * g_new, d)],
+                          axis=1)
+
+
+def _derive_depths(sd: Dict[str, np.ndarray]):
+    """Infer the backbone architecture from the state-dict keys themselves:
+    ViT → depth (int), SwinV2 → per-stage depths (tuple)."""
+    import re
+    if any(k.startswith("layers.") for k in sd):
+        stages: Dict[int, int] = {}
+        for k in sd:
+            m = re.match(r"layers\.(\d+)\.blocks\.(\d+)\.", k)
+            if m:
+                s, b = int(m.group(1)), int(m.group(2))
+                stages[s] = max(stages.get(s, 0), b + 1)
+        return tuple(stages[s] for s in sorted(stages))
+    depth = 0
+    for k in sd:
+        m = re.match(r"blocks\.(\d+)\.", k)
+        if m:
+            depth = max(depth, int(m.group(1)) + 1)
+    return depth
+
+
+def import_pretrained_file(sd: Dict[str, np.ndarray], cfg,
+                           variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a loaded state dict onto freshly-initialized ISICClassifier
+    `variables` for `cfg`. Handles both source flavors:
+
+      * a bare timm BACKBONE checkpoint (keys `patch_embed.*`, `blocks.*` /
+        `layers.*`) — backbone imported, head/metadata keep their fresh
+        init (exactly what the reference gets from timm.create_model with
+        a fresh classifier, model.py:112-145);
+      * a full reference ISICClassifier state dict (keys `backbone.*`,
+        `classifier.*`, `metadata_branch.*`) — everything imported.
+
+    Applies the 4-channel patch-embed surgery when cfg feeds masks and the
+    source is RGB, and resamples the ViT pos-embed when the image size
+    differs from the checkpoint's."""
+    in_ch = 4 if cfg.data.use_segmentation_mask else 3
+
+    if any(k.startswith("backbone.") for k in sd):        # full classifier
+        bb = {k[len("backbone."):]: v for k, v in sd.items()
+              if k.startswith("backbone.")}
+        bb = expand_source_patch_embed(bb, in_ch)
+        if "pos_embed" in bb:
+            tgt = variables["params"]["backbone"]["pos_embed"]
+            bb["pos_embed"] = resample_vit_pos_embed(
+                np.asarray(bb["pos_embed"]), tgt.shape[1] - 1)
+        full = {k: v for k, v in sd.items() if not k.startswith("backbone.")}
+        full.update({"backbone." + k: v for k, v in bb.items()})
+        return import_torch_isic(full, variables, _derive_depths(bb))
+
+    sd = expand_source_patch_embed(sd, in_ch)
+    params = dict(variables["params"])
+    depths = _derive_depths(sd)
+    if isinstance(depths, tuple):                          # Swin backbone
+        params["backbone"] = import_torch_swin(sd, params["backbone"], depths)
+    else:
+        if "pos_embed" in sd:
+            tgt = params["backbone"]["pos_embed"]
+            sd = dict(sd)
+            sd["pos_embed"] = resample_vit_pos_embed(
+                np.asarray(sd["pos_embed"]), tgt.shape[1] - 1)
+        params["backbone"] = import_torch_vit(sd, params["backbone"], depths)
+    out = dict(variables)
+    out["params"] = params
+    return out

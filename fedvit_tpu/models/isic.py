@@ -144,7 +144,10 @@ def build_model(cfg: Config) -> ISICClassifier:
         num_classes=m.num_classes,
         image_size=m.image_size,
         in_channels=cfg.in_channels,
-        pretrained=m.pretrained,
+        # pretrained weights arrive via model.pretrained_path (a converted
+        # checkpoint loaded at fold start); only warn when the user asked for
+        # pretrained=true without providing one
+        pretrained=m.pretrained and not m.pretrained_path,
         drop_path_rate=m.drop_path_rate,
         pool=m.pool,
         metadata_enabled=m.metadata.enabled,

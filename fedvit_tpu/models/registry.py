@@ -52,7 +52,9 @@ def build_backbone(name: str, image_size: int, in_channels: int = 3,
     if pretrained:
         warnings.warn(
             "pretrained=True: no network access for weight download; "
-            "initializing randomly (use checkpoint import for converted weights).")
+            "initializing randomly. Convert a timm/torch weights file with "
+            "`python -m fedvit_tpu.cli.import_weights` and point "
+            "model.pretrained_path at the result to start from it.")
 
     m = _VIT_RE.match(name)
     if m:

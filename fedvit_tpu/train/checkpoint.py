@@ -85,6 +85,63 @@ def checkpoint_exists(path: str) -> bool:
     return (p / "meta.json").exists() and (p / "state").exists()
 
 
+# --- pretrained starting points (cli.import_weights → train_fold) ----------
+#
+# A "pretrained checkpoint" is just {params, batch_stats} + provenance meta —
+# the converted form of the reference's timm download (model.py:112-166).
+# It deliberately has NO optimizer/EMA/step state: it is a starting point,
+# not a resume point.
+
+def save_pretrained(path: str, variables: Dict[str, Any],
+                    cfg: Optional[Config] = None,
+                    source: str = "") -> None:
+    """Write converted pretrained variables ({"params", "batch_stats"})."""
+    path = Path(path).absolute()
+    tree = {"params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {})}
+    ocp.PyTreeCheckpointer().save(path / "variables", tree, force=True)
+    meta = {
+        "kind": "pretrained",
+        "source": source,
+        "backbone": cfg.model.backbone if cfg else None,
+        "image_size": cfg.model.image_size if cfg else None,
+        "in_channels": cfg.in_channels if cfg else None,
+    }
+    (path / "pretrained_meta.json").write_text(json.dumps(meta, indent=2))
+
+
+def load_pretrained(path: str, variables: Dict[str, Any],
+                    cfg: Optional[Config] = None) -> Dict[str, Any]:
+    """Restore converted pretrained variables into the structure of fresh
+    `variables`; refuses a checkpoint converted for a different model."""
+    path = Path(path).absolute()
+    meta = json.loads((path / "pretrained_meta.json").read_text())
+    if cfg is not None and meta.get("backbone") is not None:
+        for got, want, name in (
+                (meta["backbone"], cfg.model.backbone, "backbone"),
+                (meta["image_size"], cfg.model.image_size, "image_size"),
+                (meta["in_channels"], cfg.in_channels, "in_channels")):
+            if got != want:
+                raise ValueError(
+                    f"pretrained checkpoint at {path} was converted for "
+                    f"{name}={got!r} but the config wants {want!r} — "
+                    f"re-run cli.import_weights with this config")
+    target = {"params": jax.tree.map(np.asarray, variables["params"]),
+              "batch_stats": jax.tree.map(np.asarray,
+                                          variables.get("batch_stats", {}))}
+    restored = ocp.PyTreeCheckpointer().restore(path / "variables",
+                                                item=target)
+    out = dict(variables)
+    out["params"] = restored["params"]
+    out["batch_stats"] = restored["batch_stats"]
+    return out
+
+
+def pretrained_exists(path: str) -> bool:
+    p = Path(path)
+    return (p / "pretrained_meta.json").exists() and (p / "variables").exists()
+
+
 # --- federated server state (SURVEY §5 "per-round federated server state") --
 #
 # A federated run's full restart surface is {params, batch_stats, EMA shadow,

@@ -200,8 +200,17 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
     loss_fn = build_loss(cfg)
     # build params first (tx needs the param tree only for LLRD scales)
     model, state0 = init_model_state(cfg, optax_identity(), cfg.seed + fold)
-    tx, schedule = build_optimizer(cfg, state0.params, opt_steps_per_epoch)
-    state = TrainState.create(model.apply, state0.params, state0.batch_stats,
+    params0, stats0 = state0.params, state0.batch_stats
+    if cfg.model.pretrained_path:
+        # converted pretrained starting point (cli.import_weights) — the
+        # reference's `pretrained: true` production path (config.yaml:31)
+        loaded = ckpt.load_pretrained(
+            cfg.model.pretrained_path,
+            {"params": params0, "batch_stats": stats0}, cfg)
+        params0, stats0 = loaded["params"], loaded["batch_stats"]
+        log(f" Pretrained init ← {cfg.model.pretrained_path}")
+    tx, schedule = build_optimizer(cfg, params0, opt_steps_per_epoch)
+    state = TrainState.create(model.apply, params0, stats0,
                               tx, jax.random.key(cfg.seed + fold + 1),
                               ema_enabled=t.ema.enabled)
 
