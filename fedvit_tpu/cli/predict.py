@@ -110,8 +110,9 @@ def main(argv=None) -> int:
                                  jax.random.key(0),
                                  ema_enabled=cfg.training.ema.enabled)
 
-    eval_step = make_eval_step(model.apply, cfg, cross_entropy_loss)
-    augment_eval = jax.jit(make_device_augment(cfg, train=False))
+    # eval augmentation fused into the jitted step (one dispatch per batch)
+    eval_step = make_eval_step(model.apply, cfg, cross_entropy_loss,
+                               augment=make_device_augment(cfg, train=False))
 
     fold_logits = []
     for path in args.checkpoint:
@@ -124,7 +125,7 @@ def main(argv=None) -> int:
                                              state.batch_stats, source,
                                              batch_size=bs)
         else:
-            res = _evaluate(eval_step, augment_eval, params,
+            res = _evaluate(eval_step, params,
                             state.batch_stats, source, bs,
                             cfg.num_classes)
             logits = res["logits"]

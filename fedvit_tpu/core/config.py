@@ -34,6 +34,12 @@ class DataConfig:
     cache_gb: float = 0.0
     # host batches decoded ahead of device compute (epoch_batches)
     prefetch_batches: int = 2
+    # keep the decoded uint8 canvases resident in HBM and gather batches on
+    # device (data/pipeline.DeviceDataSource) when the dataset fits this
+    # budget; 0 streams every batch from the host instead. Removes ALL
+    # per-step H2D traffic — essential on tunneled devices, still the right
+    # default on real TPU VMs. (ISIC-2019 at the 272 canvas is ~7.2 GB.)
+    device_resident_mb: int = 8192
 
 
 @dataclass(frozen=True)

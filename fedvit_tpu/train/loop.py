@@ -57,13 +57,31 @@ def init_model_state(cfg: Config, tx, rng_seed: int = 0,
     return model, state
 
 
-def _evaluate(eval_step, augment, params, batch_stats, source, batch_size,
+def _pad_batch(batch: Dict, batch_size: int) -> Dict:
+    """Pad every value to batch_size rows by repeating the last row —
+    on device for jax arrays (no host round-trip), numpy otherwise."""
+    out = {}
+    for k, v in batch.items():
+        pad = batch_size - v.shape[0]
+        if pad <= 0:
+            out[k] = v
+        elif isinstance(v, jax.Array):
+            out[k] = jnp.concatenate([v, jnp.repeat(v[-1:], pad, 0)])
+        else:
+            out[k] = np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+    return out
+
+
+def _evaluate(eval_step, params, batch_stats, source, batch_size,
               num_classes: int, loss_fn=None,
               pad_to_batch: bool = True) -> Dict:
     """Full-dataset eval → metric dict (reference validate/evaluate).
 
-    The loss is computed on the TRIMMED logits so ragged final batches
-    (padded on device for static shapes) don't bias it."""
+    `eval_step` carries the deterministic eval augmentation fused inside
+    (make_eval_step(augment=...)), so raw uint8 canvas batches go straight
+    in — one dispatch per batch. The loss is computed on the TRIMMED logits
+    so ragged final batches (padded on device for static shapes) don't
+    bias it."""
     y_true: List[int] = []
     y_pred: List[int] = []
     probs: List[np.ndarray] = []
@@ -72,11 +90,8 @@ def _evaluate(eval_step, augment, params, batch_stats, source, batch_size,
     for batch in source.sequential_batches(batch_size):
         n = len(batch["label"])
         if pad_to_batch and n < batch_size:   # static shapes: pad + trim
-            pad = batch_size - n
-            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
-                     for k, v in batch.items()}
+            batch = _pad_batch(batch, batch_size)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        jb = augment(jb, jax.random.key(0))
         logits, _ = eval_step(params, batch_stats, jb)
         logits = np.asarray(logits)[:n]
         labels_n = np.asarray(batch["label"])[:n]
@@ -170,9 +185,7 @@ def evaluate_with_tta(cfg: Config, model, params, batch_stats, source,
     for batch in source.sequential_batches(bs):
         n = len(batch["label"])
         if n < bs:
-            pad = bs - n
-            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
-                     for k, v in batch.items()}
+            batch = _pad_batch(batch, bs)
         logits = np.asarray(tta_step(params, batch_stats,
                                      jnp.asarray(batch["image"]),
                                      jnp.asarray(batch["metadata"])))[:n]
@@ -191,6 +204,13 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
     are the raw test-set logits (N, C) — the contract of reference
     train_fold (train.py:221-371)."""
     t = cfg.training
+    # Device-resident data (when it fits data.device_resident_mb): one
+    # upload per source BEFORE the first training program executes, then
+    # on-device batch gather — no per-step H2D (see DeviceDataSource).
+    from fedvit_tpu.data.pipeline import maybe_device_resident
+    train_source = maybe_device_resident(train_source, cfg)
+    val_source = maybe_device_resident(val_source, cfg)
+    test_source = maybe_device_resident(test_source, cfg)
     accum = max(1, t.gradient_accumulation_steps)
     # the train step consumes MACRO batches of physical_bs * accum and does
     # one optimizer step per call (step.py contract: B = accum * micro)
@@ -237,13 +257,26 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
         from fedvit_tpu.parallel.mesh import shard_batch
         return shard_batch(dp_mesh, jb, axis="data")
 
-    augment_train = jax.jit(make_device_augment(cfg, train=True))
-    augment_eval = jax.jit(make_device_augment(cfg, train=False))
+    # Train augmentation runs as its OWN jitted program with the per-step
+    # fold_in INSIDE the jit (a host-materialized per-step key costs
+    # ~120 ms/step of serialized dispatch on the axon tunnel at bs=192).
+    # Fusing it into the train step (make_train_step(augment=...)) was
+    # measured: ~5% faster at bs≤96, but XLA compile time explodes (>10 min)
+    # at bs≥128 on this backend — separate programs are the robust default.
+    # Eval augmentation (deterministic, fixed key) IS fused into eval_step.
+    augment_train = make_device_augment(cfg, train=True)
+    augment_eval = make_device_augment(cfg, train=False)
+
+    @jax.jit
+    def aug_step(batch, base_key, i):
+        return augment_train(batch, jax.random.fold_in(base_key, i))
+
     # state is strictly threaded through the epoch loop, so donation (auto:
     # on everywhere but the axon tunnel — step.default_donate) is safe here
     train_step = make_train_step(cfg, loss_fn)
     # validation uses the training criterion (reference validate train.py:199)
-    eval_step = make_eval_step(model.apply, cfg, loss_fn)
+    eval_step = make_eval_step(model.apply, cfg, loss_fn,
+                               augment=augment_eval)
 
     metric_name = t.early_stopping.metric
     patience = t.early_stopping.patience
@@ -276,12 +309,13 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
         rng_np = np.random.default_rng(cfg.seed + 100 + fold)
         for ep in range(1, t.two_stage.stage1_epochs + 1):
             losses = []
-            for batch in train_source.epoch_batches(
-                    macro_bs, rng_np, t.use_weighted_sampler):
+            s1_key = jax.device_put(jax.random.key(cfg.seed + ep))
+            for i, batch in enumerate(train_source.epoch_batches(
+                    macro_bs, rng_np, t.use_weighted_sampler,
+                    to_device=True)):
                 jb = {k: jnp.asarray(v) for k, v in batch.items()}
-                jb = augment_train(jb, jax.random.fold_in(
-                    jax.random.key(cfg.seed + ep), len(losses)))
-                head_state, m = head_step(head_state, jb)
+                head_state, m = head_step(head_state,
+                                          aug_step(jb, s1_key, np.int32(i)))
                 losses.append(float(m["loss"]))
             log(f"  [stage1] E{ep:02d} | trn_loss {np.mean(losses):.4f}")
         # stage 2: carry params, re-init EMA (train_old.py:500-520)
@@ -294,18 +328,27 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
     for epoch in range(start_epoch, t.epochs + 1):
         t0 = time.time()
         losses = []
+        # one device-put of the epoch's augment base key; per-batch keys
+        # fold in on device inside aug_step (no host key work per step)
+        epoch_key = jax.random.key(cfg.seed * 1000 + epoch)
+        if dp_mesh is None:
+            epoch_key = jax.device_put(epoch_key)
+        else:   # replicate over the data mesh so aug_step's inputs agree
+            from jax.sharding import NamedSharding, PartitionSpec
+            epoch_key = jax.device_put(
+                epoch_key, NamedSharding(dp_mesh, PartitionSpec()))
+        # to_device: H2D runs in the prefetch thread, overlapping compute
+        # (sharded placement for DP happens in `place` instead)
         for i, batch in enumerate(train_source.epoch_batches(
-                macro_bs, rng_np, t.use_weighted_sampler)):
+                macro_bs, rng_np, t.use_weighted_sampler,
+                to_device=dp_mesh is None)):
             jb = place({k: jnp.asarray(v) for k, v in batch.items()})
-            aug_key = jax.random.fold_in(
-                jax.random.key(cfg.seed * 1000 + epoch), i)
-            jb = augment_train(jb, aug_key)
-            state, m = train_step(state, jb)
+            state, m = train_step(state, aug_step(jb, epoch_key, np.int32(i)))
             losses.append(float(m["loss"]))
         train_loss = float(np.mean(losses)) if losses else float("nan")
 
         # EMA-swapped validation (reference train.py:289-295)
-        val = _evaluate(eval_step, augment_eval, state.eval_params(),
+        val = _evaluate(eval_step, state.eval_params(),
                         state.batch_stats, val_source, t.batch_size,
                         cfg.num_classes, loss_fn=loss_fn)
         lr_now = float(schedule(state.step))
@@ -351,8 +394,9 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
         log("  Evaluating on test set (no TTA)…")
         # the reference's no-TTA branch builds one-hot "logits" from preds
         # (train.py:355-358); we return the real raw logits instead
-        test_eval_step = make_eval_step(model.apply, cfg, cross_entropy_loss)
-        res = _evaluate(test_eval_step, augment_eval, eval_params,
+        test_eval_step = make_eval_step(model.apply, cfg, cross_entropy_loss,
+                                        augment=augment_eval)
+        res = _evaluate(test_eval_step, eval_params,
                         state.batch_stats, test_source, t.batch_size,
                         cfg.num_classes, loss_fn=cross_entropy_loss)
         logits = res["logits"]

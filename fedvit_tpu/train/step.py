@@ -50,12 +50,20 @@ def default_donate() -> bool:
 
 
 def make_train_step(cfg: Config, loss_fn: LossFn,
-                    donate: Optional[bool] = None) -> Callable:
+                    donate: Optional[bool] = None,
+                    augment: Optional[Callable] = None) -> Callable:
     """Build the jitted train step for a config.
 
     donate=None resolves via `default_donate()` (donate everywhere except
     the axon tunnel backend). Callers that retain and reuse an OLD state
-    object after stepping must pass donate=False explicitly."""
+    object after stepping must pass donate=False explicitly.
+
+    augment: optional (batch, rng) → batch device-augmentation fn (from
+    data.pipeline.make_device_augment) FUSED into the step: the batch then
+    arrives as the raw uint8 canvas and the augment key derives from
+    state.rng in-program. One dispatch per step instead of two, and no
+    host-side fold_in — measured on the axon tunnel, a host-materialized
+    per-step key costs ~120 ms of serialized dispatch at bs=192."""
     if donate is None:
         donate = default_donate()
     t = cfg.training
@@ -85,6 +93,10 @@ def make_train_step(cfg: Config, loss_fn: LossFn,
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if augment is not None:
+            new_rng, aug_rng = jax.random.split(state.rng)
+            batch = augment(batch, aug_rng)
+            state = state.replace(rng=new_rng)
         images = batch["image"]
         labels = batch["label"]
         metadata = batch.get("metadata") if use_meta else None
@@ -167,16 +179,21 @@ def make_train_step(cfg: Config, loss_fn: LossFn,
 
 
 def make_eval_step(apply_fn: Callable, cfg: Config,
-                   loss_fn: Optional[LossFn] = None) -> Callable:
+                   loss_fn: Optional[LossFn] = None,
+                   augment: Optional[Callable] = None) -> Callable:
     """Jitted eval step: (params, batch_stats, batch) → (logits, loss).
 
     The caller chooses params (EMA shadow for validation — the reference's
     apply_shadow dance, train.py:289-295). Pass `loss_fn=None` for
-    logits-only inference (e.g. TTA)."""
+    logits-only inference (e.g. TTA). With `augment` (the deterministic
+    eval transform from make_device_augment), the batch arrives as the raw
+    uint8 canvas and resize/crop/normalize fuse into the same program."""
     use_meta = cfg.model.metadata.enabled
 
     @jax.jit
     def eval_step(params, batch_stats, batch):
+        if augment is not None:
+            batch = augment(batch, jax.random.key(0))   # deterministic
         metadata = batch.get("metadata") if use_meta else None
         out = apply_fn({"params": params, "batch_stats": batch_stats},
                        batch["image"], metadata, deterministic=True)

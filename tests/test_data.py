@@ -275,3 +275,65 @@ def test_prefetch_iterator_error_propagates():
     assert next(it) == 1
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+def test_device_data_source_matches_host_source():
+    """DeviceDataSource (one upload + on-device gather, the train_fold
+    default on TPU) serves byte-identical batches to its wrapped source,
+    including the chunked-upload path and the ragged sequential tail."""
+    import numpy as np
+    from fedvit_tpu.data.pipeline import ArrayDataSource, DeviceDataSource
+    from fedvit_tpu.data.synthetic import make_synthetic_dataset
+
+    data = make_synthetic_dataset(n=37, image_size=24, seed=5)
+    host = ArrayDataSource(data, pack_mask=True)
+    DeviceDataSource.CHUNK, saved = 16, DeviceDataSource.CHUNK  # force chunks
+    try:
+        dev = DeviceDataSource(host)
+    finally:
+        DeviceDataSource.CHUNK = saved
+    assert len(dev) == 37
+    idx = np.array([0, 5, 36, 16, 15])
+    hb, db = host.gather(idx), dev.gather(idx)
+    for k in ("image", "label", "metadata"):
+        np.testing.assert_array_equal(np.asarray(db[k]), hb[k])
+
+    # epoch plan equivalence under the same RNG
+    hb_batches = list(host.epoch_batches(8, np.random.default_rng(3), True))
+    db_batches = list(dev.epoch_batches(8, np.random.default_rng(3), True))
+    assert len(hb_batches) == len(db_batches)
+    for h, d in zip(hb_batches, db_batches):
+        np.testing.assert_array_equal(np.asarray(d["image"]), h["image"])
+
+    # sequential: ragged tail (37 = 4*8 + 5) preserved
+    seq = list(dev.sequential_batches(8))
+    assert [len(np.asarray(b["label"])) for b in seq] == [8, 8, 8, 8, 5]
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(b["label"]) for b in seq]), host.labels)
+
+
+def test_train_fold_with_device_resident_source(tmp_path):
+    """train_fold runs end-to-end on a DeviceDataSource (padding of ragged
+    eval batches happens on device via _pad_batch)."""
+    import numpy as np
+    from fedvit_tpu.core.config import from_dict
+    from fedvit_tpu.data.pipeline import ArrayDataSource, DeviceDataSource
+    from fedvit_tpu.data.synthetic import make_synthetic_dataset
+    from fedvit_tpu.train.loop import train_fold
+
+    cfg = from_dict({
+        "model": {"backbone": "vit_tiny_patch16_224", "image_size": 32,
+                  "compute_dtype": "float32", "drop_path_rate": 0.0},
+        "data": {"use_segmentation_mask": False},
+        "training": {"epochs": 1, "batch_size": 16,
+                     "ema": {"enabled": False}, "tta": {"enabled": False}},
+        "loss": {"type": "ce"}})
+    tr = DeviceDataSource(ArrayDataSource(
+        make_synthetic_dataset(n=48, image_size=40, seed=0)))
+    va = DeviceDataSource(ArrayDataSource(
+        make_synthetic_dataset(n=21, image_size=40, seed=1)))   # ragged
+    te = DeviceDataSource(ArrayDataSource(
+        make_synthetic_dataset(n=17, image_size=40, seed=2)))   # ragged
+    res = train_fold(cfg, 0, tr, va, te, workdir=None, log=lambda s: None)
+    assert res.logits.shape == (17, 8)
+    assert np.isfinite(res.logits).all()

@@ -178,7 +178,7 @@ def test_validate_metrics_match_reference():
     from fedvit_tpu.train.step import make_eval_step
     eval_step = make_eval_step(jm.apply, cfg, cross_entropy_loss)
     src = _ArraySource(x, labels.astype(np.int32), md)
-    ours = _evaluate(eval_step, lambda b, k: b, variables["params"],
+    ours = _evaluate(eval_step, variables["params"],
                      variables["batch_stats"], src, 16, 8,
                      loss_fn=cross_entropy_loss)
 

@@ -1,34 +1,35 @@
 #!/bin/bash
-# Round-3 TPU measurement queue — run under nohup when the axon tunnel
-# recovers. Each stage logs to /tmp/q_*.log; later stages still run if an
-# earlier one fails (independent programs).
+# TPU measurement queue: run a sequence of independent measurement commands
+# under nohup, each bounded by a timeout, each logging to its own file, with
+# a status journal. Later stages run even if an earlier one fails.
+#
+# Usage:
+#   tools/tpu_queue.sh <queue-file> [logdir]
+#   nohup tools/tpu_queue.sh my_queue.txt /tmp/q &
+#
+# The queue file has one stage per line:  <tag> <command...>
+# Blank lines and lines starting with # are skipped. Example:
+#   swin_trace python -u tools/swin_trace.py 16
+#   vit_bench  python -u bench.py
+#   vitl       python -u bench.py vitl
 set -u
-cd /root/repo
-# persistent compilation cache: makes cross-process re-runs of the same
-# program (trace tool -> bench) skip the 20-min Mosaic/XLA compile
-export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
-mkdir -p /tmp/jaxcache
+cd "$(dirname "$0")/.."
 
-run() {  # run <tag> <cmd...>
-  tag=$1; shift
-  echo "[queue] $(date -u +%H:%M:%S) start $tag" >> /tmp/q_status.log
-  timeout 3600 "$@" > "/tmp/q_$tag.log" 2>&1
-  echo "[queue] $(date -u +%H:%M:%S) done  $tag rc=$?" >> /tmp/q_status.log
-}
+QUEUE_FILE=${1:?usage: tpu_queue.sh <queue-file> [logdir]}
+LOGDIR=${2:-/tmp/tpu_queue}
+mkdir -p "$LOGDIR"
 
-# 1. SwinV2-L@384 bs=16 with bf16-norm-expansion + kernel budgets + bf16
-#    residual stream (commits e75a4f2..da9ccc1) + trace
-run swin_acl python -u tools/swin_trace.py 16
+# persistent compilation cache: cross-process re-runs of the same program
+# (trace tool -> bench) skip the multi-minute Mosaic/XLA compile
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
-# 2. ViT-B bench sweep (the driver-facing number) with the bf16 GELU
-run vit_bench python -u bench.py
-
-# 3. ViT-L/16@384 measurement with GELU + donation
-run vitl python -u tools/vit_trace.py 16 vit_large_patch16_384 384
-
-# 4. ViT-B mega-kernel A/B at bs=192 (attention_impl=mega)
-run vit_mega python -u tools/vit_trace.py 192 vit_base_patch16_224 224 mega
-
-# 5. Swin bench entry (prints the judge-facing MFU): bs 16 reuses the
-#    stage-1 compile via the persistent cache if it works
-run swin_bench python -u bench.py swinv2
+STATUS="$LOGDIR/status.log"
+while read -r tag rest; do
+  case "$tag" in ''|'#'*) continue;; esac
+  echo "[queue] $(date -u +%H:%M:%S) start $tag" >> "$STATUS"
+  timeout "${STAGE_TIMEOUT:-3600}" bash -c "$rest" \
+    > "$LOGDIR/$tag.log" 2>&1
+  echo "[queue] $(date -u +%H:%M:%S) done  $tag rc=$?" >> "$STATUS"
+done < "$QUEUE_FILE"
+echo "[queue] $(date -u +%H:%M:%S) ALL DONE" >> "$STATUS"
