@@ -737,7 +737,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def _wflat_head_block(num_heads: int, d: int) -> int:
     """Heads per grid cell: smallest divisor of H whose lane width hb·d is a
     multiple of 128 (legal non-full block lane dim); falls back to all heads
-    (block = full E, always legal)."""
+    (block = full E, always legal). FEDVIT_WATTN_HB overrides (experiment
+    knob, tools/wattn_micro.py) when it divides H legally."""
+    env = os.environ.get("FEDVIT_WATTN_HB")
+    if env:
+        hb = int(env)
+        if num_heads % hb == 0 and (hb == num_heads or (hb * d) % LANE == 0):
+            return hb
     for hb in range(1, num_heads):
         if num_heads % hb == 0 and (hb * d) % LANE == 0:
             return hb
@@ -761,7 +767,15 @@ def _wflat_groups(b: int, n: int, hb: int, d: int, h: int, itemsize: int):
     # budgets sized against the 64 MB scoped window (_wflat_compiler_kwargs):
     # at SwinV2-L@384 shapes (N=576) the previous 14/28 MB budgets forced
     # g=1 on every stage
-    return pick(4, 2, 28, 8), pick(7, 4, 48, 4)
+    gf, gb = pick(4, 2, 28, 8), pick(7, 4, 48, 4)
+    for env, cur in (("FEDVIT_WATTN_GF", gf), ("FEDVIT_WATTN_GB", gb)):
+        val = os.environ.get(env)               # experiment knob
+        if val and b % int(val) == 0:
+            if env.endswith("GF"):
+                gf = int(val)
+            else:
+                gb = int(val)
+    return gf, gb
 
 
 def _wflat_fwd_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref, o_ref):
@@ -923,32 +937,161 @@ def _wflat_fwd_rule(q, k, v, bias, mask, num_heads, interpret):
     return out, (q, k, v, bias)
 
 
+# --- softmax-stats VJP variant (FEDVIT_WATTN_STATS=1, tools/wattn_micro) ---
+#
+# The forward additionally emits per-row softmax statistics — row max and
+# 1/Σexp — so the backward's recompute chain collapses from
+# max-reduce → sub+exp → sum-reduce → divide (two 576-wide cross-lane
+# reductions + a divide per (N, N) tile) to a single exp·mul. Stats ride in
+# a lane-padded f32 tensor: one 128-lane slot per head-block j, lanes
+# [0:hb) = max, [64:64+hb) = 1/Σ (hb ≤ 64 always: hb is a divisor of H and
+# H ≤ 48 at SwinV2-L). Both kernels also fold bias+mask ONCE per (N, N)
+# tile instead of broadcasting two adds over the (g, N, N) batch block.
+
+_STATS_HALF = 64
+
+
+def _wflat_fwd_stats_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref,
+                            o_ref, st_ref):
+    outs, mxs, invs = [], [], []
+    for t in range(hb):
+        sl = slice(t * d, (t + 1) * d)
+        s = jax.lax.dot_general(q_ref[:, :, sl], k_ref[:, :, sl],
+                                _BATCHED_QKT,
+                                preferred_element_type=jnp.float32)
+        bm = b_ref[t] + m_ref[0].astype(jnp.float32)    # fold once (N, N)
+        s = s + bm[None]
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general((p * inv).astype(v_ref.dtype),
+                                v_ref[:, :, sl], _BATCHED_PV,
+                                preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+        mxs.append(mx[..., 0])
+        invs.append(inv[..., 0])
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
+    g, nn = mxs[0].shape
+    pad = jnp.zeros((g, nn, _STATS_HALF - hb), jnp.float32)
+    st_ref[:] = jnp.concatenate(
+        [jnp.stack(mxs, -1), pad, jnp.stack(invs, -1), pad], axis=-1)
+
+
+def _wflat_bwd_stats_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref,
+                            st_ref, do_ref, dq_ref, dk_ref, dv_ref, db_ref):
+    first = jnp.logical_and(pl.program_id(1) == 0, pl.program_id(2) == 0)
+    dqs, dks, dvs, dbs = [], [], [], []
+    for t in range(hb):
+        sl = slice(t * d, (t + 1) * d)
+        s = jax.lax.dot_general(q_ref[:, :, sl], k_ref[:, :, sl],
+                                _BATCHED_QKT,
+                                preferred_element_type=jnp.float32)
+        bm = b_ref[t] + m_ref[0].astype(jnp.float32)
+        s = s + bm[None]
+        mx = st_ref[:, :, t:t + 1]
+        inv = st_ref[:, :, _STATS_HALF + t:_STATS_HALF + t + 1]
+        p = jnp.exp(s - mx) * inv               # saved-stats recompute
+
+        do = do_ref[:, :, sl]
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[:, :, sl], _BATCHED_QKT,
+                                 preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - row)
+        ds_lp = ds.astype(do.dtype)
+        dq = jax.lax.dot_general(ds_lp, k_ref[:, :, sl], _BATCHED_PV,
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds_lp, q_ref[:, :, sl], _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq.astype(dq_ref.dtype))
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+        dbs.append(jnp.sum(ds, axis=0))
+    dq_ref[:] = jnp.concatenate(dqs, axis=-1)
+    dk_ref[:] = jnp.concatenate(dks, axis=-1)
+    dv_ref[:] = jnp.concatenate(dvs, axis=-1)
+    dsum = jnp.stack(dbs, axis=0)
+
+    @pl.when(first)
+    def _():
+        db_ref[:] = dsum
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        db_ref[:] = db_ref[:] + dsum
+
+
+def _wflat_stats_spec(g, n, hb, b):
+    bpg = b // g
+    lanes = 2 * _STATS_HALF
+    return pl.BlockSpec((g, n, lanes), lambda j, w, i: (w * bpg + i, 0, j),
+                        memory_space=pltpu.VMEM), lanes
+
+
+def _stats_enabled() -> bool:
+    return os.environ.get("FEDVIT_WATTN_STATS", "1") == "1"
+
+
+def _wflat_fwd_rule_vjp(q, k, v, bias, mask, num_heads, interpret):
+    if not _stats_enabled():
+        out, _ = _wflat_fwd_rule(q, k, v, bias, mask, num_heads, interpret)
+        return out, (q, k, v, bias, mask, None)
+    wb, n, e, h, d, w0, b, hb = _wflat_dims(q, bias, mask, num_heads)
+    g, _ = _wflat_groups(b, n, hb, d, h, q.dtype.itemsize)
+    qkv_spec, b_spec, m_spec = _wflat_specs(g, n, e, hb, d, w0, b, h)
+    st_spec, st_lanes = _wflat_stats_spec(g, n, hb, b)
+    interp = _interpret_flag(interpret)
+    out, stats = pl.pallas_call(
+        functools.partial(_wflat_fwd_stats_kernel, hb, d),
+        grid=(h // hb, w0, b // g),
+        in_specs=[qkv_spec] * 3 + [b_spec, m_spec],
+        out_specs=[qkv_spec, st_spec],
+        out_shape=[jax.ShapeDtypeStruct((wb, n, e), q.dtype),
+                   jax.ShapeDtypeStruct((wb, n, (h // hb) * st_lanes),
+                                        jnp.float32)],
+        interpret=interp,
+        **_wflat_compiler_kwargs(interp),
+    )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32))
+    return out, (q, k, v, bias, mask, stats)
+
+
 def _make_wflat_bwd():
     def rule(num_heads, interpret, res, grad_out):
-        q, k, v, bias, mask = res
+        q, k, v, bias, mask, stats = res
         wb, n, e, h, d, w0, b, hb = _wflat_dims(q, bias, mask, num_heads)
         _, g = _wflat_groups(b, n, hb, d, h, q.dtype.itemsize)
         qkv_spec, b_spec, m_spec = _wflat_specs(g, n, e, hb, d, w0, b, h)
         interp = _interpret_flag(interpret)
         kwargs = _wflat_compiler_kwargs(interp)
-        dq, dk, dv, db = pl.pallas_call(
-            functools.partial(_wflat_bwd_kernel, hb, d),
-            grid=(h // hb, w0, b // g),
-            in_specs=[qkv_spec] * 3 + [b_spec, m_spec, qkv_spec],
-            out_specs=[qkv_spec] * 3 + [b_spec],
-            out_shape=[jax.ShapeDtypeStruct((wb, n, e), q.dtype)] * 3
-            + [jax.ShapeDtypeStruct((h, n, n), jnp.float32)],
-            interpret=interp,
-            **kwargs,
-        )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32),
-          grad_out.astype(q.dtype))
+        if stats is None:
+            dq, dk, dv, db = pl.pallas_call(
+                functools.partial(_wflat_bwd_kernel, hb, d),
+                grid=(h // hb, w0, b // g),
+                in_specs=[qkv_spec] * 3 + [b_spec, m_spec, qkv_spec],
+                out_specs=[qkv_spec] * 3 + [b_spec],
+                out_shape=[jax.ShapeDtypeStruct((wb, n, e), q.dtype)] * 3
+                + [jax.ShapeDtypeStruct((h, n, n), jnp.float32)],
+                interpret=interp,
+                **kwargs,
+            )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32),
+              grad_out.astype(q.dtype))
+        else:
+            st_spec, _ = _wflat_stats_spec(g, n, hb, b)
+            dq, dk, dv, db = pl.pallas_call(
+                functools.partial(_wflat_bwd_stats_kernel, hb, d),
+                grid=(h // hb, w0, b // g),
+                in_specs=[qkv_spec] * 3 + [b_spec, m_spec, st_spec,
+                                           qkv_spec],
+                out_specs=[qkv_spec] * 3 + [b_spec],
+                out_shape=[jax.ShapeDtypeStruct((wb, n, e), q.dtype)] * 3
+                + [jax.ShapeDtypeStruct((h, n, n), jnp.float32)],
+                interpret=interp,
+                **kwargs,
+            )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32),
+              stats, grad_out.astype(q.dtype))
         return dq, dk, dv, db.astype(bias.dtype), jnp.zeros_like(mask)
     return rule
-
-
-def _wflat_fwd_rule_vjp(q, k, v, bias, mask, num_heads, interpret):
-    out, _ = _wflat_fwd_rule(q, k, v, bias, mask, num_heads, interpret)
-    return out, (q, k, v, bias, mask)
 
 
 _flash_attention_bias_flat.defvjp(_wflat_fwd_rule_vjp, _make_wflat_bwd())

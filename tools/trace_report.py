@@ -1,11 +1,14 @@
 """Aggregate TPU op time from a jax.profiler perfetto trace.
 
-Usage: python tools/trace_report.py /tmp/swin_xprof/plugins/profile/<run>/vm.trace.json.gz [top_n]
+Usage: python tools/trace_report.py <.../vm.trace.json.gz> [top_n] [steps]
 
-Groups trace events on the TPU op track by a normalized op name (fusion
-indices stripped) and prints total/self time per group plus a coarse
-category rollup (matmul / pallas / conv / elementwise-fusion / copy / other).
-Stdlib only — no tensorboard/xprof dependency on this host.
+Groups device op events by XLA's own `hlo_category` arg (the authoritative
+classification — umbrella module events like jit_train_step carry no
+hlo_category and are excluded, so nothing double-counts), rolls them up
+into a step-budget table (matmul/conv, Pallas kernels, elementwise, copy,
+other), and prints achieved FLOP/s for the categories XLA models flops
+for. `steps` (default 3: what tools/*_trace.py capture) divides totals
+into per-step numbers. Stdlib only — no tensorboard/xprof dependency.
 """
 import gzip
 import json
@@ -15,6 +18,7 @@ from collections import defaultdict
 
 path = sys.argv[1]
 top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+steps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
 opener = gzip.open if path.endswith(".gz") else open
 with opener(path, "rt") as f:
@@ -22,26 +26,6 @@ with opener(path, "rt") as f:
 
 events = data["traceEvents"]
 
-# Map (pid, tid) -> thread/process names from metadata events.
-pid_name = {}
-tid_name = {}
-for e in events:
-    if e.get("ph") == "M":
-        if e.get("name") == "process_name":
-            pid_name[e["pid"]] = e["args"].get("name", "")
-        elif e.get("name") == "thread_name":
-            tid_name[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
-
-# TPU op events live on threads named like "XLA Ops" / "TensorFlow Ops" /
-# "Steps" under a TPU device process; host threads carry python/runtime noise.
-op_tids = set()
-for (pid, tid), name in tid_name.items():
-    pname = pid_name.get(pid, "")
-    if "TPU" in pname or "/device:" in pname or "Axon" in pname:
-        if "Ops" in name or "XLA" in name:
-            op_tids.add((pid, tid))
-if not op_tids:  # fall back: any thread whose name mentions XLA ops
-    op_tids = {k for k, v in tid_name.items() if "Ops" in v}
 
 def norm(name: str) -> str:
     n = name.split("/")[-1] if name.startswith("jit_") else name
@@ -49,49 +33,66 @@ def norm(name: str) -> str:
     n = re.sub(r"\d+$", "", n)
     return n
 
-def category(name: str) -> str:
-    n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
-        return "pallas/custom-call"
-    if "convolution" in n or "conv" in n:
-        return "conv"
-    if "dot" in n or "matmul" in n or "einsum" in n:
-        return "matmul"
-    if "all-reduce" in n or "all-gather" in n or "collective" in n:
-        return "collective"
-    if "copy" in n or "transpose" in n or "reshape" in n or "bitcast" in n:
-        return "copy/layout"
-    if "dynamic" in n or "slice" in n or "concatenate" in n or "pad" in n:
-        return "slice/concat/pad"
-    if "fusion" in n or "loop" in n or "input" in n or "output" in n:
-        return "fusion(elementwise)"
-    return "other"
 
-per_name = defaultdict(float)
-per_name_count = defaultdict(int)
+ROLLUP = {  # hlo_category -> budget bucket
+    "convolution fusion": "matmul/conv",
+    "convolution": "matmul/conv",
+    "custom-call": "pallas kernels",
+    "custom fusion": "pallas kernels",
+    "loop fusion": "elementwise fusion",
+    "input fusion": "elementwise fusion",
+    "output fusion": "elementwise fusion",
+    "non-fusion elementwise": "elementwise fusion",
+    "reduce": "elementwise fusion",
+    "data formatting": "copy/layout",
+    "copy-start": "copy/layout",
+    "copy-done": "copy/layout",
+    "async-start": "copy/layout",
+    "async-done": "copy/layout",
+    "slice": "copy/layout",
+}
+
+per_cat = defaultdict(float)
+per_cat_flops = defaultdict(float)
+per_group = defaultdict(float)
+n_events = 0
 total = 0.0
 for e in events:
-    if e.get("ph") != "X" or (e["pid"], e.get("tid")) not in op_tids:
+    if e.get("ph") != "X":
         continue
-    dur = e.get("dur", 0) / 1e3  # us -> ms
-    name = e.get("name", "?")
-    per_name[name] += dur
-    per_name_count[name] += 1
+    a = e.get("args") or {}
+    cat = a.get("hlo_category")
+    if cat is None:                     # umbrella module event / metadata
+        continue
+    dur = float(a.get("device_duration_ps", e.get("dur", 0) * 1e6)) / 1e9
+    per_cat[cat] += dur
+    per_cat_flops[cat] += float(a.get("model_flops", 0) or 0)
+    per_group[(cat, norm(e.get("name", "?")))] += dur
     total += dur
+    n_events += 1
 
-groups = defaultdict(float)
-for name, ms in per_name.items():
-    groups[norm(name)] += ms
+print(f"device-op wall: {total:.1f} ms total / {total/steps:.1f} ms/step "
+      f"({n_events} events, {steps} steps)")
+print("\n== step budget (rolled up) ==")
+rolled = defaultdict(float)
+rolled_fl = defaultdict(float)
+for c, ms in per_cat.items():
+    b = ROLLUP.get(c, "other")
+    rolled[b] += ms
+    rolled_fl[b] += per_cat_flops[c]
+for b, ms in sorted(rolled.items(), key=lambda kv: -kv[1]):
+    fl = rolled_fl[b] / (ms / 1e3) / 1e12 if ms else 0.0
+    extra = f"  {fl:6.1f} TFLOP/s" if rolled_fl[b] else ""
+    print(f"{ms/steps:9.2f} ms/step  {100*ms/max(total,1e-9):5.1f}%  "
+          f"{b}{extra}")
 
-cats = defaultdict(float)
-for name, ms in per_name.items():
-    cats[category(name)] += ms
+print("\n== hlo categories ==")
+for c, ms in sorted(per_cat.items(), key=lambda kv: -kv[1]):
+    if ms / steps < 0.005:
+        continue
+    print(f"{ms/steps:9.2f} ms/step  {100*ms/max(total,1e-9):5.1f}%  {c}")
 
-print(f"device-op wall on op tracks: {total:.1f} ms total "
-      f"({len(per_name)} distinct ops, {sum(per_name_count.values())} events)")
-print("\n== categories ==")
-for c, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
-    print(f"{ms:10.2f} ms  {100*ms/max(total,1e-9):5.1f}%  {c}")
 print(f"\n== top {top_n} op groups ==")
-for g, ms in sorted(groups.items(), key=lambda kv: -kv[1])[:top_n]:
-    print(f"{ms:10.2f} ms  {100*ms/max(total,1e-9):5.1f}%  {g}")
+for (c, g), ms in sorted(per_group.items(), key=lambda kv: -kv[1])[:top_n]:
+    print(f"{ms/steps:9.2f} ms/step  {100*ms/max(total,1e-9):5.1f}%  "
+          f"[{c}] {g}")
