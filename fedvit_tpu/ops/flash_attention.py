@@ -913,11 +913,14 @@ def _wflat_specs(g, n, e, hb, d, w0, b, h):
 def _wflat_compiler_kwargs(interp: bool):
     """Raise the scoped-VMEM window: the resident bias (hb, N, N) + mask
     (1, N, N) f32 blocks alone approach the 16 MB default at Swin windows
-    (N=576), and Mosaic scratch pushes past it."""
+    (N=576), and Mosaic scratch pushes past it. FEDVIT_WATTN_VMEM=<MB>
+    overrides (experiment knob: larger head blocks need ~100 MB of the
+    v5e's 128 MB VMEM)."""
     if interp:
         return {}
+    mb = int(os.environ.get("FEDVIT_WATTN_VMEM", "64"))
     return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=64 * 1024 * 1024)}
+        vmem_limit_bytes=mb * 1024 * 1024)}
 
 
 def _wflat_fwd_rule(q, k, v, bias, mask, num_heads, interpret):

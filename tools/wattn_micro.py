@@ -111,12 +111,18 @@ def main():
         key, val = kv.split("=", 1)
         env = {"hb": "FEDVIT_WATTN_HB", "softmax": "FEDVIT_WATTN_SOFTMAX",
                "gf": "FEDVIT_WATTN_GF", "gb": "FEDVIT_WATTN_GB",
-               "stats": "FEDVIT_WATTN_STATS"}[key]
+               "stats": "FEDVIT_WATTN_STATS",
+               "vmem": "FEDVIT_WATTN_VMEM"}[key]
         os.environ[env] = val
     tag = (" [" + " ".join(knobs) + "]") if knobs else ""
     tot_f = tot_b = 0.0
     for s in which:
-        f, b = run_stage(s, tag)
+        try:
+            f, b = run_stage(s, tag)
+        except Exception as e:   # e.g. scoped-VMEM OOM for a knob combo
+            print(f"{s}{tag}: FAILED — {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:150]}", flush=True)
+            continue
         # per-step totals: depth × blocks at SwinV2-L (2, 2, 18, 2)
         depth = {"stage0": 2, "stage1": 2, "stage2": 18, "stage3": 2}.get(s, 1)
         tot_f += f * depth
