@@ -97,12 +97,44 @@ def run_stage(stage, tag=""):
     return t_fwd, t_bwd
 
 
+_ENVKEYS = ("FEDVIT_WATTN_HB", "FEDVIT_WATTN_SOFTMAX", "FEDVIT_WATTN_GF",
+            "FEDVIT_WATTN_GB", "FEDVIT_WATTN_STATS", "FEDVIT_WATTN_VMEM")
+
+AB_VARIANTS = [          # measured back-to-back in ONE process per stage —
+    ("base(stats=1)", {}),          # cross-process runs drift ±30%
+    ("stats=0", {"FEDVIT_WATTN_STATS": "0"}),
+    ("hb=8 vmem=100", {"FEDVIT_WATTN_HB": "8",
+                       "FEDVIT_WATTN_VMEM": "100"}),
+    ("gf=8 gb=8 vmem=100", {"FEDVIT_WATTN_GF": "8", "FEDVIT_WATTN_GB": "8",
+                            "FEDVIT_WATTN_VMEM": "100"}),
+    ("base(repeat)", {}),           # drift sentinel
+]
+
+
+def run_ab(stages):
+    for stage in stages:
+        for tag, env in AB_VARIANTS:
+            for k in _ENVKEYS:
+                os.environ.pop(k, None)
+            os.environ.update(env)
+            try:
+                run_stage(stage, f" [{tag}]")
+            except Exception as e:
+                print(f"{stage} [{tag}]: FAILED — {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:150]}", flush=True)
+        for k in _ENVKEYS:
+            os.environ.pop(k, None)
+
+
 def main():
     # sitecustomize imports jax before env vars apply — honor JAX_PLATFORMS
     # here so `JAX_PLATFORMS=cpu python tools/wattn_micro.py tiny` works
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     args = sys.argv[1:]
+    if args and args[0] == "ab":
+        rest = [a for a in args[1:] if a in STAGES]
+        return run_ab(rest or [s for s in STAGES if s != "tiny"])
     stages = [a for a in args if a in STAGES or a == "all"]
     knobs = [a for a in args if "=" in a]
     which = (list(s for s in STAGES if s != "tiny")
