@@ -463,6 +463,85 @@ def flash_attention_qkvb(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
     return out
 
 
+def _qkvb_fwd_stats_kernel(nheads, e, scale, qkv_ref, b_ref, o_ref, st_ref):
+    """Forward that also emits per-row softmax stats (row max at lanes
+    [0:H), 1/Σ at lanes [64:64+H)) so the backward skips its reductions —
+    the same trick as the windowed `_wflat_fwd_stats_kernel`."""
+    d = e // nheads
+    outs, mxs, invs = [], [], []
+    for t in range(nheads):
+        qs = slice(t * d, (t + 1) * d)
+        ks = slice(e + t * d, e + (t + 1) * d)
+        vs = slice(2 * e + t * d, 2 * e + (t + 1) * d)
+        q = qkv_ref[:, :, qs] + b_ref[:, :, qs]
+        k = qkv_ref[:, :, ks] + b_ref[:, :, ks]
+        v = qkv_ref[:, :, vs] + b_ref[:, :, vs]
+        s = jax.lax.dot_general(q, k, _BATCHED_QKT,
+                                preferred_element_type=jnp.float32) * scale
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general((p * inv).astype(v.dtype), v, _BATCHED_PV,
+                                preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+        mxs.append(mx[..., 0])
+        invs.append(inv[..., 0])
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
+    g, nn = mxs[0].shape
+    pad = jnp.zeros((g, nn, _STATS_HALF - nheads), jnp.float32)
+    st_ref[:] = jnp.concatenate(
+        [jnp.stack(mxs, -1), pad, jnp.stack(invs, -1), pad], axis=-1)
+
+
+def _qkvb_bwd_stats_kernel(nheads, e, scale, qkv_ref, b_ref, st_ref, do_ref,
+                           dqkv_ref, db_ref):
+    d = e // nheads
+    dqs, dks, dvs = [], [], []
+    for t in range(nheads):
+        qs = slice(t * d, (t + 1) * d)
+        ks = slice(e + t * d, e + (t + 1) * d)
+        vs = slice(2 * e + t * d, 2 * e + (t + 1) * d)
+        q = qkv_ref[:, :, qs] + b_ref[:, :, qs]
+        k = qkv_ref[:, :, ks] + b_ref[:, :, ks]
+        v = qkv_ref[:, :, vs] + b_ref[:, :, vs]
+        s = jax.lax.dot_general(q, k, _BATCHED_QKT,
+                                preferred_element_type=jnp.float32) * scale
+        mx = st_ref[:, :, t:t + 1]
+        inv = st_ref[:, :, _STATS_HALF + t:_STATS_HALF + t + 1]
+        p = jnp.exp(s - mx) * inv               # saved-stats recompute
+        do = do_ref[:, :, qs]
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, _BATCHED_QKT,
+                                 preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - row)).astype(do.dtype)
+        dq = jax.lax.dot_general(ds, k, _BATCHED_PV,
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq.astype(dqkv_ref.dtype))
+        dks.append(dk.astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+    dqkv_ref[:] = dqkv
+    dsum = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))[None]   # (1, 3E)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        db_ref[:] = dsum
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        db_ref[:] = db_ref[:] + dsum
+
+
+def _qkvb_stats_enabled(num_heads: int) -> bool:
+    return (os.environ.get("FEDVIT_QKVB_STATS", "0") == "1"
+            and num_heads <= _STATS_HALF)
+
+
 def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
     b, n, e3 = qkv.shape
     e = e3 // 3
@@ -471,25 +550,41 @@ def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
 
     interp = _interpret_flag(interpret)
     bias2 = _tile_bias(bias, n, qkv.dtype)
-    out = pl.pallas_call(
-        functools.partial(_qkvb_fwd_kernel, num_heads, e, scale),
+    # measured on v5e at ViT-B bs=192 g=4: real scoped usage is 16.16M
+    # (bias tile + per-head biased q/k/v temps exceed the 25% margin),
+    # so the window is floored at 20 MB
+    kwargs = _scoped_vmem_kwargs(
+        _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 4, 2)
+        + n * 3 * e * qkv.dtype.itemsize, interp, floor_mb=20)
+    if not _qkvb_stats_enabled(num_heads):
+        out = pl.pallas_call(
+            functools.partial(_qkvb_fwd_kernel, num_heads, e, scale),
+            grid=(b // g,),
+            in_specs=[_flat_spec(g, n, e3), _tiled_bias_spec(n, e3)],
+            out_specs=_flat_spec(g, n, e),
+            out_shape=jax.ShapeDtypeStruct((b, n, e), qkv.dtype),
+            interpret=interp,
+            **kwargs,
+        )(qkv, bias2)
+        return out, (qkv, bias, None)
+    lanes = 2 * _STATS_HALF
+    st_spec = pl.BlockSpec((g, n, lanes), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out, stats = pl.pallas_call(
+        functools.partial(_qkvb_fwd_stats_kernel, num_heads, e, scale),
         grid=(b // g,),
         in_specs=[_flat_spec(g, n, e3), _tiled_bias_spec(n, e3)],
-        out_specs=_flat_spec(g, n, e),
-        out_shape=jax.ShapeDtypeStruct((b, n, e), qkv.dtype),
+        out_specs=[_flat_spec(g, n, e), st_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, e), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, n, lanes), jnp.float32)],
         interpret=interp,
-        # measured on v5e at ViT-B bs=192 g=4: real scoped usage is 16.16M
-        # (bias tile + per-head biased q/k/v temps exceed the 25% margin),
-        # so the window is floored at 20 MB
-        **_scoped_vmem_kwargs(
-            _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 4, 2)
-            + n * 3 * e * qkv.dtype.itemsize, interp, floor_mb=20),
+        **kwargs,
     )(qkv, bias2)
-    return out, (qkv, bias)
+    return out, (qkv, bias, stats)
 
 
 def _qkvb_bwd_rule(num_heads, interpret, res, grad_out):
-    qkv, bias = res
+    qkv, bias, stats = res
     b, n, e3 = qkv.shape
     bias2 = _tile_bias(bias, n, qkv.dtype)
     e = e3 // 3
@@ -501,17 +596,33 @@ def _qkvb_bwd_rule(num_heads, interpret, res, grad_out):
         _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 7, 4)
         + n * 3 * e * qkv.dtype.itemsize, interp,
         floor_mb=64)
-    dqkv, db = pl.pallas_call(
-        functools.partial(_qkvb_bwd_kernel, num_heads, e, scale),
-        grid=(b // g,),
-        in_specs=[_flat_spec(g, n, e3), _tiled_bias_spec(n, e3),
-                  _flat_spec(g, n, e)],
-        out_specs=[_flat_spec(g, n, e3), _bias_spec(e3)],
-        out_shape=[jax.ShapeDtypeStruct((b, n, e3), qkv.dtype),
-                   jax.ShapeDtypeStruct((1, e3), jnp.float32)],
-        interpret=interp,
-        **kwargs,
-    )(qkv, bias2, grad_out.astype(qkv.dtype))
+    if stats is None:
+        dqkv, db = pl.pallas_call(
+            functools.partial(_qkvb_bwd_kernel, num_heads, e, scale),
+            grid=(b // g,),
+            in_specs=[_flat_spec(g, n, e3), _tiled_bias_spec(n, e3),
+                      _flat_spec(g, n, e)],
+            out_specs=[_flat_spec(g, n, e3), _bias_spec(e3)],
+            out_shape=[jax.ShapeDtypeStruct((b, n, e3), qkv.dtype),
+                       jax.ShapeDtypeStruct((1, e3), jnp.float32)],
+            interpret=interp,
+            **kwargs,
+        )(qkv, bias2, grad_out.astype(qkv.dtype))
+    else:
+        lanes = 2 * _STATS_HALF
+        st_spec = pl.BlockSpec((g, n, lanes), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dqkv, db = pl.pallas_call(
+            functools.partial(_qkvb_bwd_stats_kernel, num_heads, e, scale),
+            grid=(b // g,),
+            in_specs=[_flat_spec(g, n, e3), _tiled_bias_spec(n, e3),
+                      st_spec, _flat_spec(g, n, e)],
+            out_specs=[_flat_spec(g, n, e3), _bias_spec(e3)],
+            out_shape=[jax.ShapeDtypeStruct((b, n, e3), qkv.dtype),
+                       jax.ShapeDtypeStruct((1, e3), jnp.float32)],
+            interpret=interp,
+            **kwargs,
+        )(qkv, bias2, stats, grad_out.astype(qkv.dtype))
     return dqkv, db.reshape(bias.shape).astype(bias.dtype)
 
 
