@@ -117,10 +117,16 @@ def test_wflat_forward_matches_xla(n, w0, h):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_wflat_backward_matches_xla():
+@pytest.mark.parametrize("stats", ["0", "1"])
+def test_wflat_backward_matches_xla(monkeypatch, stats):
     """dq, dk, dv AND dbias — the in-kernel dBias accumulation across the
     window×batch grid dimensions must match XLA autodiff through the
-    bias add (b > group forces >1 batch tile; w0 > 1 forces >1 window)."""
+    bias add (b > group forces >1 batch tile; w0 > 1 forces >1 window).
+
+    Parametrized over FEDVIT_WATTN_STATS: "1" (default) saves per-row
+    softmax stats in forward and skips the backward's re-reductions;
+    "0" is the recompute backward — both must stay exact."""
+    monkeypatch.setenv("FEDVIT_WATTN_STATS", stats)
     w0, b, n, h, e = 2, 5, 49, 2, 32
     q, k, v = make_windowed(w0, b, n, e, seed=13)
     rng = np.random.default_rng(19)
@@ -440,13 +446,20 @@ def test_mega_attention_impl_in_vit_block():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_qkvb_matches_qkv_plus_bias(monkeypatch):
+@pytest.mark.parametrize("stats", ["0", "1"])
+def test_qkvb_matches_qkv_plus_bias(monkeypatch, stats):
     """flash_attention_qkvb(qkv, bias) must equal attention over qkv+bias in
     forward and in the dqkv/dbias backward — with the batch grid forced to
-    multiple steps so the in-kernel dbias accumulation is exercised."""
+    multiple steps so the in-kernel dbias accumulation is exercised.
+
+    Parametrized over FEDVIT_QKVB_STATS: "1" saves per-row softmax stats
+    (row max + 1/Σ) in forward and the backward recomputes p from them
+    without its own reductions (_qkvb_bwd_stats_kernel); "0" (default) is
+    the full-recompute backward."""
     from fedvit_tpu.ops.attention import attention_from_qkv
     from fedvit_tpu.ops.flash_attention import flash_attention_qkvb
 
+    monkeypatch.setenv("FEDVIT_QKVB_STATS", stats)
     monkeypatch.setenv("FEDVIT_ATTN_G", "1,1")   # 4 grid steps at b=4
     b, n, e, h = 4, 50, 64, 2
     rng = np.random.default_rng(62)
