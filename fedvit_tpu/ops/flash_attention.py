@@ -537,9 +537,64 @@ def _qkvb_bwd_stats_kernel(nheads, e, scale, qkv_ref, b_ref, st_ref, do_ref,
         db_ref[:] = db_ref[:] + dsum
 
 
+def _qkvb_bwd_delta_kernel(nheads, e, scale, qkv_ref, b_ref, st_ref, o_ref,
+                           do_ref, dqkv_ref, db_ref):
+    """Stats backward + the flash-attention delta identity (row_i = do_i·o_i
+    — see _wflat_bwd_delta_kernel): the (N, N) dp·p product and its N-wide
+    cross-lane reduce become a d-wide reduce over the forward output the
+    projection VJP keeps alive anyway. FEDVIT_QKVB_DELTA gates it (requires
+    FEDVIT_QKVB_STATS=1)."""
+    d = e // nheads
+    dqs, dks, dvs = [], [], []
+    for t in range(nheads):
+        qs = slice(t * d, (t + 1) * d)
+        ks = slice(e + t * d, e + (t + 1) * d)
+        vs = slice(2 * e + t * d, 2 * e + (t + 1) * d)
+        q = qkv_ref[:, :, qs] + b_ref[:, :, qs]
+        k = qkv_ref[:, :, ks] + b_ref[:, :, ks]
+        v = qkv_ref[:, :, vs] + b_ref[:, :, vs]
+        do = do_ref[:, :, qs]
+        delta = jnp.sum(do.astype(jnp.float32)
+                        * o_ref[:, :, qs].astype(jnp.float32),
+                        axis=-1, keepdims=True)          # (g, N, 1)
+        s = jax.lax.dot_general(q, k, _BATCHED_QKT,
+                                preferred_element_type=jnp.float32) * scale
+        mx = st_ref[:, :, t:t + 1]
+        inv = st_ref[:, :, _STATS_HALF + t:_STATS_HALF + t + 1]
+        p = jnp.exp(s - mx) * inv               # saved-stats recompute
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, _BATCHED_QKT,
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(do.dtype)
+        dq = jax.lax.dot_general(ds, k, _BATCHED_PV,
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq.astype(dqkv_ref.dtype))
+        dks.append(dk.astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+    dqkv_ref[:] = dqkv
+    dsum = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))[None]   # (1, 3E)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        db_ref[:] = dsum
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        db_ref[:] = db_ref[:] + dsum
+
+
 def _qkvb_stats_enabled(num_heads: int) -> bool:
     return (os.environ.get("FEDVIT_QKVB_STATS", "0") == "1"
             and num_heads <= _STATS_HALF)
+
+
+def _qkvb_delta_enabled() -> bool:
+    return os.environ.get("FEDVIT_QKVB_DELTA", "0") == "1"
 
 
 def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
@@ -566,7 +621,7 @@ def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
             interpret=interp,
             **kwargs,
         )(qkv, bias2)
-        return out, (qkv, bias, None)
+        return out, (qkv, bias, None, None)
     lanes = 2 * _STATS_HALF
     st_spec = pl.BlockSpec((g, n, lanes), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -580,11 +635,11 @@ def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
         interpret=interp,
         **kwargs,
     )(qkv, bias2)
-    return out, (qkv, bias, stats)
+    return out, (qkv, bias, stats, out if _qkvb_delta_enabled() else None)
 
 
 def _qkvb_bwd_rule(num_heads, interpret, res, grad_out):
-    qkv, bias, stats = res
+    qkv, bias, stats, out = res
     b, n, e3 = qkv.shape
     bias2 = _tile_bias(bias, n, qkv.dtype)
     e = e3 // 3
@@ -608,6 +663,21 @@ def _qkvb_bwd_rule(num_heads, interpret, res, grad_out):
             interpret=interp,
             **kwargs,
         )(qkv, bias2, grad_out.astype(qkv.dtype))
+    elif out is not None:                       # stats + delta backward
+        lanes = 2 * _STATS_HALF
+        st_spec = pl.BlockSpec((g, n, lanes), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dqkv, db = pl.pallas_call(
+            functools.partial(_qkvb_bwd_delta_kernel, num_heads, e, scale),
+            grid=(b // g,),
+            in_specs=[_flat_spec(g, n, e3), _tiled_bias_spec(n, e3),
+                      st_spec, _flat_spec(g, n, e), _flat_spec(g, n, e)],
+            out_specs=[_flat_spec(g, n, e3), _bias_spec(e3)],
+            out_shape=[jax.ShapeDtypeStruct((b, n, e3), qkv.dtype),
+                       jax.ShapeDtypeStruct((1, e3), jnp.float32)],
+            interpret=interp,
+            **kwargs,
+        )(qkv, bias2, stats, out, grad_out.astype(qkv.dtype))
     else:
         lanes = 2 * _STATS_HALF
         st_spec = pl.BlockSpec((g, n, lanes), lambda i: (i, 0, 0),
@@ -1136,6 +1206,62 @@ def _wflat_bwd_stats_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref,
         db_ref[:] = db_ref[:] + dsum
 
 
+def _wflat_bwd_delta_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref,
+                            st_ref, o_ref, do_ref,
+                            dq_ref, dk_ref, dv_ref, db_ref):
+    """Stats backward + the flash-attention delta identity.
+
+    row_i = Σ_j dp_ij·p_ij = do_i · o_i  (o = Σ_j p_ij v_j), so the per-row
+    softmax-VJP correction collapses from an (N, N) elementwise product plus
+    an N-wide cross-lane reduce (the widest VPU pass left in the stats
+    backward) to a d=32-wide reduce over tensors the kernel already holds —
+    `o` is the forward output, which the surrounding projection's VJP keeps
+    alive anyway (XLA dedupes the residual). FEDVIT_WATTN_DELTA gates it."""
+    first = jnp.logical_and(pl.program_id(1) == 0, pl.program_id(2) == 0)
+    dqs, dks, dvs, dbs = [], [], [], []
+    for t in range(hb):
+        sl = slice(t * d, (t + 1) * d)
+        do = do_ref[:, :, sl]
+        delta = jnp.sum(do.astype(jnp.float32)
+                        * o_ref[:, :, sl].astype(jnp.float32),
+                        axis=-1, keepdims=True)          # (g, N, 1)
+        s = jax.lax.dot_general(q_ref[:, :, sl], k_ref[:, :, sl],
+                                _BATCHED_QKT,
+                                preferred_element_type=jnp.float32)
+        bm = b_ref[t] + m_ref[0].astype(jnp.float32)
+        s = s + bm[None]
+        mx = st_ref[:, :, t:t + 1]
+        inv = st_ref[:, :, _STATS_HALF + t:_STATS_HALF + t + 1]
+        p = jnp.exp(s - mx) * inv
+
+        dv = jax.lax.dot_general(p.astype(do.dtype), do, _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[:, :, sl], _BATCHED_QKT,
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        ds_lp = ds.astype(do.dtype)
+        dq = jax.lax.dot_general(ds_lp, k_ref[:, :, sl], _BATCHED_PV,
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds_lp, q_ref[:, :, sl], _BATCHED_PTDO,
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq.astype(dq_ref.dtype))
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+        dbs.append(jnp.sum(ds, axis=0))
+    dq_ref[:] = jnp.concatenate(dqs, axis=-1)
+    dk_ref[:] = jnp.concatenate(dks, axis=-1)
+    dv_ref[:] = jnp.concatenate(dvs, axis=-1)
+    dsum = jnp.stack(dbs, axis=0)
+
+    @pl.when(first)
+    def _():
+        db_ref[:] = dsum
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        db_ref[:] = db_ref[:] + dsum
+
+
 def _wflat_stats_spec(g, n, hb, b):
     bpg = b // g
     lanes = 2 * _STATS_HALF
@@ -1147,10 +1273,14 @@ def _stats_enabled() -> bool:
     return os.environ.get("FEDVIT_WATTN_STATS", "1") == "1"
 
 
+def _delta_enabled() -> bool:
+    return os.environ.get("FEDVIT_WATTN_DELTA", "0") == "1"
+
+
 def _wflat_fwd_rule_vjp(q, k, v, bias, mask, num_heads, interpret):
     if not _stats_enabled():
         out, _ = _wflat_fwd_rule(q, k, v, bias, mask, num_heads, interpret)
-        return out, (q, k, v, bias, mask, None)
+        return out, (q, k, v, bias, mask, None, None)
     wb, n, e, h, d, w0, b, hb = _wflat_dims(q, bias, mask, num_heads)
     g, _ = _wflat_groups(b, n, hb, d, h, q.dtype.itemsize)
     qkv_spec, b_spec, m_spec = _wflat_specs(g, n, e, hb, d, w0, b, h)
@@ -1167,12 +1297,13 @@ def _wflat_fwd_rule_vjp(q, k, v, bias, mask, num_heads, interpret):
         interpret=interp,
         **_wflat_compiler_kwargs(interp),
     )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32))
-    return out, (q, k, v, bias, mask, stats)
+    return out, (q, k, v, bias, mask, stats,
+                 out if _delta_enabled() else None)
 
 
 def _make_wflat_bwd():
     def rule(num_heads, interpret, res, grad_out):
-        q, k, v, bias, mask, stats = res
+        q, k, v, bias, mask, stats, out = res
         wb, n, e, h, d, w0, b, hb = _wflat_dims(q, bias, mask, num_heads)
         _, g = _wflat_groups(b, n, hb, d, h, q.dtype.itemsize)
         qkv_spec, b_spec, m_spec = _wflat_specs(g, n, e, hb, d, w0, b, h)
@@ -1190,6 +1321,20 @@ def _make_wflat_bwd():
                 **kwargs,
             )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32),
               grad_out.astype(q.dtype))
+        elif out is not None:                   # stats + delta backward
+            st_spec, _ = _wflat_stats_spec(g, n, hb, b)
+            dq, dk, dv, db = pl.pallas_call(
+                functools.partial(_wflat_bwd_delta_kernel, hb, d),
+                grid=(h // hb, w0, b // g),
+                in_specs=[qkv_spec] * 3 + [b_spec, m_spec, st_spec,
+                                           qkv_spec, qkv_spec],
+                out_specs=[qkv_spec] * 3 + [b_spec],
+                out_shape=[jax.ShapeDtypeStruct((wb, n, e), q.dtype)] * 3
+                + [jax.ShapeDtypeStruct((h, n, n), jnp.float32)],
+                interpret=interp,
+                **kwargs,
+            )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32),
+              stats, out, grad_out.astype(q.dtype))
         else:
             st_spec, _ = _wflat_stats_spec(g, n, hb, b)
             dq, dk, dv, db = pl.pallas_call(

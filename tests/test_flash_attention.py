@@ -117,16 +117,20 @@ def test_wflat_forward_matches_xla(n, w0, h):
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("stats", ["0", "1"])
-def test_wflat_backward_matches_xla(monkeypatch, stats):
+@pytest.mark.parametrize("stats,delta", [("0", "0"), ("1", "0"), ("1", "1")])
+def test_wflat_backward_matches_xla(monkeypatch, stats, delta):
     """dq, dk, dv AND dbias — the in-kernel dBias accumulation across the
     window×batch grid dimensions must match XLA autodiff through the
     bias add (b > group forces >1 batch tile; w0 > 1 forces >1 window).
 
-    Parametrized over FEDVIT_WATTN_STATS: "1" (default) saves per-row
-    softmax stats in forward and skips the backward's re-reductions;
-    "0" is the recompute backward — both must stay exact."""
+    Parametrized over FEDVIT_WATTN_STATS ("1" default: the forward saves
+    per-row softmax stats and the backward skips its re-reductions; "0" is
+    the full-recompute backward) and FEDVIT_WATTN_DELTA ("1": the backward
+    additionally computes the softmax-VJP row correction as do·o — the
+    flash-attention delta identity — instead of Σ(dp·p)). All variants must
+    stay exact."""
     monkeypatch.setenv("FEDVIT_WATTN_STATS", stats)
+    monkeypatch.setenv("FEDVIT_WATTN_DELTA", delta)
     w0, b, n, h, e = 2, 5, 49, 2, 32
     q, k, v = make_windowed(w0, b, n, e, seed=13)
     rng = np.random.default_rng(19)
@@ -446,20 +450,22 @@ def test_mega_attention_impl_in_vit_block():
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("stats", ["0", "1"])
-def test_qkvb_matches_qkv_plus_bias(monkeypatch, stats):
+@pytest.mark.parametrize("stats,delta", [("0", "0"), ("1", "0"), ("1", "1")])
+def test_qkvb_matches_qkv_plus_bias(monkeypatch, stats, delta):
     """flash_attention_qkvb(qkv, bias) must equal attention over qkv+bias in
     forward and in the dqkv/dbias backward — with the batch grid forced to
     multiple steps so the in-kernel dbias accumulation is exercised.
 
-    Parametrized over FEDVIT_QKVB_STATS: "1" saves per-row softmax stats
-    (row max + 1/Σ) in forward and the backward recomputes p from them
-    without its own reductions (_qkvb_bwd_stats_kernel); "0" (default) is
-    the full-recompute backward."""
+    Parametrized over FEDVIT_QKVB_STATS ("1" saves per-row softmax stats —
+    row max + 1/Σ — in forward and the backward recomputes p from them
+    without its own reductions, _qkvb_bwd_stats_kernel; "0" (default) is
+    the full-recompute backward) and FEDVIT_QKVB_DELTA ("1": the backward's
+    softmax-VJP row correction is computed as do·o, _qkvb_bwd_delta_kernel)."""
     from fedvit_tpu.ops.attention import attention_from_qkv
     from fedvit_tpu.ops.flash_attention import flash_attention_qkvb
 
     monkeypatch.setenv("FEDVIT_QKVB_STATS", stats)
+    monkeypatch.setenv("FEDVIT_QKVB_DELTA", delta)
     monkeypatch.setenv("FEDVIT_ATTN_G", "1,1")   # 4 grid steps at b=4
     b, n, e, h = 4, 50, 64, 2
     rng = np.random.default_rng(62)

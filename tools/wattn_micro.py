@@ -98,10 +98,12 @@ def run_stage(stage, tag=""):
 
 
 _ENVKEYS = ("FEDVIT_WATTN_HB", "FEDVIT_WATTN_SOFTMAX", "FEDVIT_WATTN_GF",
-            "FEDVIT_WATTN_GB", "FEDVIT_WATTN_STATS", "FEDVIT_WATTN_VMEM")
+            "FEDVIT_WATTN_GB", "FEDVIT_WATTN_STATS", "FEDVIT_WATTN_VMEM",
+            "FEDVIT_WATTN_DELTA")
 
 AB_VARIANTS = [          # measured back-to-back in ONE process per stage —
     ("base(stats=1)", {}),          # cross-process runs drift ±30%
+    ("delta=1", {"FEDVIT_WATTN_DELTA": "1"}),
     ("stats=0", {"FEDVIT_WATTN_STATS": "0"}),
     ("hb=8 vmem=100", {"FEDVIT_WATTN_HB": "8",
                        "FEDVIT_WATTN_VMEM": "100"}),
@@ -111,9 +113,11 @@ AB_VARIANTS = [          # measured back-to-back in ONE process per stage —
 ]
 
 
-def run_ab(stages):
+def run_ab(stages, only=None):
+    variants = ([v for v in AB_VARIANTS
+                 if any(s in v[0] for s in only)] if only else AB_VARIANTS)
     for stage in stages:
-        for tag, env in AB_VARIANTS:
+        for tag, env in variants:
             for k in _ENVKEYS:
                 os.environ.pop(k, None)
             os.environ.update(env)
@@ -134,7 +138,10 @@ def main():
     args = sys.argv[1:]
     if args and args[0] == "ab":
         rest = [a for a in args[1:] if a in STAGES]
-        return run_ab(rest or [s for s in STAGES if s != "tiny"])
+        only = [a.split("=", 1)[1].split(",")
+                for a in args[1:] if a.startswith("only=")]
+        return run_ab(rest or [s for s in STAGES if s != "tiny"],
+                      only=only[0] if only else None)
     stages = [a for a in args if a in STAGES or a == "all"]
     knobs = [a for a in args if "=" in a]
     which = (list(s for s in STAGES if s != "tiny")
@@ -144,7 +151,8 @@ def main():
         env = {"hb": "FEDVIT_WATTN_HB", "softmax": "FEDVIT_WATTN_SOFTMAX",
                "gf": "FEDVIT_WATTN_GF", "gb": "FEDVIT_WATTN_GB",
                "stats": "FEDVIT_WATTN_STATS",
-               "vmem": "FEDVIT_WATTN_VMEM"}[key]
+               "vmem": "FEDVIT_WATTN_VMEM",
+               "delta": "FEDVIT_WATTN_DELTA"}[key]
         os.environ[env] = val
     tag = (" [" + " ".join(knobs) + "]") if knobs else ""
     tot_f = tot_b = 0.0
