@@ -647,10 +647,13 @@ def _qkvb_bwd_rule(num_heads, interpret, res, grad_out):
     _, g = _flat_groups(b, n, e, qkv.dtype.itemsize)
 
     interp = _interpret_flag(interpret)
-    kwargs = _scoped_vmem_kwargs(
-        _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 7, 4)
-        + n * 3 * e * qkv.dtype.itemsize, interp,
-        floor_mb=64)
+    live = (_flat_live_bytes(g, n, e, qkv.dtype.itemsize, 7, 4)
+            + n * 3 * e * qkv.dtype.itemsize)
+    if out is not None:
+        # the delta kernel additionally holds the forward output block
+        # o_ref (g, n, e) resident for the whole program
+        live += g * n * e * qkv.dtype.itemsize
+    kwargs = _scoped_vmem_kwargs(live, interp, floor_mb=64)
     if stats is None:
         dqkv, db = pl.pallas_call(
             functools.partial(_qkvb_bwd_kernel, num_heads, e, scale),

@@ -517,3 +517,76 @@ def test_default_attention_composition_matches_packed():
     np.testing.assert_allclose(np.asarray(o_new["logits"]),
                                np.asarray(o_ref["logits"]),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("delta", ["0", "1"])
+def test_wflat_backward_bf16_accuracy(monkeypatch, delta):
+    """bf16 accuracy of the windowed stats/delta backwards vs an f32 oracle.
+
+    The delta variant computes the softmax-VJP row correction as do·o from
+    the STORED-precision forward output — under bf16 inputs o is rounded to
+    bf16 before the dot, so its correction is inherently less accurate than
+    the stats path's in-kernel f32 Σ(dp·p). Inputs are exact bf16 values
+    (generated f32 → bf16 → upcast for the oracle) so the tolerance below
+    measures internal rounding only. Both variants must stay within a
+    bf16-scale bound of the f32 XLA reference; f32 exactness is pinned
+    separately by test_wflat_backward_matches_xla."""
+    monkeypatch.setenv("FEDVIT_WATTN_STATS", "1")
+    monkeypatch.setenv("FEDVIT_WATTN_DELTA", delta)
+    w0, b, n, h, e = 2, 3, 49, 2, 32
+    q32, k32, v32 = make_windowed(w0, b, n, e, seed=43)
+    rng = np.random.default_rng(47)
+    bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+    mask = jnp.asarray(rng.normal(size=(w0, n, n)), jnp.float32)
+    to_bf = lambda t: t.astype(jnp.bfloat16)
+    q, k, v = to_bf(q32), to_bf(k32), to_bf(v32)
+    ct32 = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+    ct = to_bf(ct32)
+
+    _, vjp_pal = jax.vjp(
+        lambda q, k, v, bi: flash_attention_bias_flat(q, k, v, bi, mask, h,
+                                                      interpret=True),
+        q, k, v, bias)
+    _, vjp_xla = jax.vjp(
+        lambda q, k, v, bi: windowed_attention_flat(q, k, v, bi, mask, h,
+                                                    impl="xla"),
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32), bias)
+    grads_p = vjp_pal(ct)
+    grads_x = vjp_xla(ct.astype(jnp.float32))
+    for a, r, name in zip(grads_p, grads_x, ["q", "k", "v", "bias"]):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(r),
+                                   rtol=5e-2, atol=5e-2, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("delta", ["0", "1"])
+def test_qkvb_backward_bf16_accuracy(monkeypatch, delta):
+    """Same bf16 bound for the packed-QKV stats/delta backwards (the delta
+    kernel's row correction do·o reads the bf16-rounded forward output o;
+    see _qkvb_bwd_delta_kernel)."""
+    from fedvit_tpu.ops.attention import attention_from_qkv
+    from fedvit_tpu.ops.flash_attention import flash_attention_qkvb
+
+    monkeypatch.setenv("FEDVIT_QKVB_STATS", "1")
+    monkeypatch.setenv("FEDVIT_QKVB_DELTA", delta)
+    monkeypatch.setenv("FEDVIT_ATTN_G", "1,1")
+    b, n, e, h = 4, 50, 64, 2
+    rng = np.random.default_rng(53)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * e)),
+                      jnp.float32).astype(jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(3 * e,)) * 0.1, jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(b, n, e)),
+                     jnp.float32).astype(jnp.bfloat16)
+
+    _, vjp_pal = jax.vjp(
+        lambda t, c: flash_attention_qkvb(t, c, h, interpret=True),
+        qkv, bias)
+    _, vjp_xla = jax.vjp(
+        lambda t, c: attention_from_qkv(t + c.reshape(1, 1, -1), h,
+                                        impl="xla"),
+        qkv.astype(jnp.float32), bias)
+    grads_p = vjp_pal(ct)
+    grads_x = vjp_xla(ct.astype(jnp.float32))
+    for a, r, name in zip(grads_p, grads_x, ["qkv", "bias"]):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(r),
+                                   rtol=5e-2, atol=5e-2, err_msg=f"d{name}")

@@ -114,8 +114,15 @@ AB_VARIANTS = [          # measured back-to-back in ONE process per stage —
 
 
 def run_ab(stages, only=None):
-    variants = ([v for v in AB_VARIANTS
-                 if any(s in v[0] for s in only)] if only else AB_VARIANTS)
+    # exact tag match: substring matching made `only=stats` select both
+    # "base(stats=1)" and "stats=0", which defeats the point of an A/B
+    variants = ([v for v in AB_VARIANTS if v[0] in only]
+                if only else AB_VARIANTS)
+    if only and not variants:
+        tags = ", ".join(repr(v[0]) for v in AB_VARIANTS)
+        print(f"only={only!r} matched no variant; known tags: {tags}",
+              flush=True)
+        return
     for stage in stages:
         for tag, env in variants:
             for k in _ENVKEYS:
