@@ -148,6 +148,80 @@ def test_groundtruth_parse_unk_dropped(isic_tree):
     assert len(df) == 19 and (df["label"] < 8).all()
 
 
+def _add_test_split(isic_tree, with_gt):
+    """Extend the synthetic tree with a test split (ref data.py:396-426
+    semantics: GT+meta → labelled, meta+images only → placeholder labels)."""
+    (isic_tree / "ISIC_2019_Test_Input").mkdir()
+    names = [f"ISIC_{i:07d}" for i in range(100, 106)]
+    rng = np.random.default_rng(1)
+    for nm in names[:-1]:   # one test image missing on disk
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(isic_tree / "ISIC_2019_Test_Input" / f"{nm}.jpg")
+    meta = pd.DataFrame({
+        "image": names,
+        "age_approx": [30, 60, None, 45, 80, 20],
+        "sex": ["male", None, "female", "male", "female", "male"],
+        "anatom_site_general_challenge": ["anterior torso"] * 6,
+    })
+    meta.to_csv(isic_tree / "ISIC_2019_Test_Metadata.csv", index=False)
+    if with_gt:
+        onehot = np.zeros((6, 9))
+        onehot[np.arange(6), [0, 1, 2, 3, 1, 8]] = 1   # last row UNK
+        gt = pd.DataFrame(onehot, columns=["MEL", "NV", "BCC", "AK", "BKL",
+                                           "DF", "VASC", "SCC", "UNK"])
+        gt.insert(0, "image", names)
+        gt.to_csv(isic_tree / "ISIC_2019_Test_GroundTruth.csv", index=False)
+    return names
+
+
+def test_load_isic_data_labelled_test_split(isic_tree):
+    """GT + metadata present: labelled test frame, UNK dropped, missing
+    files dropped, real labels detected (ref data.py:396-410)."""
+    _add_test_split(isic_tree, with_gt=True)
+    _, test_df = load_isic_data(str(isic_tree), log=lambda s: None)
+    # 6 rows − 1 UNK; the missing-on-disk image was the UNK row's? No:
+    # names[-1] (UNK) has no file AND no valid label — both drops overlap
+    assert len(test_df) == 5
+    assert list(test_df["label"]) == [0, 1, 2, 3, 1]
+    assert has_real_test_labels(test_df)
+    # metadata encodings rode through the merge
+    assert abs(test_df["age_norm"].iloc[2] - 50 / 90) < 1e-9   # NaN → 50/90
+    assert test_df["sex_idx"].iloc[1] == 2                     # NaN → unknown
+    assert (test_df["site_idx"] == 0).all()        # anterior torso, alt column
+
+
+def test_load_isic_data_unlabelled_test_split(isic_tree):
+    """Metadata + images but NO GT: placeholder dx='MEL'/label=0 rows for
+    images that exist on disk, and the placeholder gate stays closed
+    (ref data.py:411-423 + train.py:361)."""
+    _add_test_split(isic_tree, with_gt=False)
+    _, test_df = load_isic_data(str(isic_tree), log=lambda s: None)
+    assert len(test_df) == 5            # 6 metadata rows − 1 missing file
+    assert (test_df["dx"] == "MEL").all() and (test_df["label"] == 0).all()
+    assert not has_real_test_labels(test_df)
+    assert all(str(p).endswith(".jpg") for p in test_df["image_path"])
+
+
+def test_load_metadata_fallbacks(tmp_path):
+    """Column-absence fallbacks (ref data.py:353-375): lesion_id ← image,
+    age_norm ← 0.5, sex/site ← unknown index; out-of-vocab strings also
+    land on unknown."""
+    from fedvit_tpu.data.isic import load_metadata
+    p = tmp_path / "meta.csv"
+    pd.DataFrame({"image": ["a", "b"]}).to_csv(p, index=False)
+    df = load_metadata(p)
+    assert list(df["lesion_id"]) == ["a", "b"]
+    assert (df["age_norm"] == 0.5).all()
+    assert (df["sex_idx"] == 2).all() and (df["site_idx"] == 8).all()
+
+    pd.DataFrame({"image": ["a"], "age_approx": [200], "sex": ["MALE"],
+                  "anatom_site_general": ["weird-site"]}).to_csv(p, index=False)
+    df = load_metadata(p)
+    assert df["age_norm"].iloc[0] == 1.0         # clip(0, 90)/90
+    assert df["sex_idx"].iloc[0] == 0            # lowercased through vocab
+    assert df["site_idx"].iloc[0] == 8           # OOV → unknown
+
+
 # ---------------------------------------------------------------------------
 # Host pipeline → device augmentation
 # ---------------------------------------------------------------------------
