@@ -1,11 +1,24 @@
 #!/usr/bin/env python3
 """Federated benchmark — FedAvg round wall-time (BASELINE.json tracks it).
 
-Runs cfg #5-style federated training (clients sharded over the mesh,
-psum/pmean aggregation each round) on the available devices and prints ONE
-JSON line: {"metric": "fedavg_round_walltime_s", ...}. On the single-chip
-host the mesh has one device hosting all clients (vmap); on a pod the same
-code shards clients over ICI.
+Runs federated training (clients sharded over the mesh, psum/pmean
+aggregation each round) on the available devices and prints ONE JSON line:
+{"metric": "fedavg_round_walltime_s", ...}. On the single-chip host the mesh
+has one device hosting all clients (vmap); on a pod the same code shards
+clients over ICI.
+
+Modes (argv[1]):
+  (default)   driver config #3 shape — 8 clients x 4 local steps x bs16,
+              ViT-B/16 @224, non-IID Dirichlet split
+  clients10   driver config #5 — 10-client FedAvg (same code path the
+              8-device dryrun shards over a mesh; here all 10 ride one
+              chip's vmap)
+  vitl        driver config #4 — ViT-L/16 @384 federated fine-tune with
+              per-client on-device augmentation. Client count is HBM-bound
+              on one chip: each vmapped client holds its own params + AdamW
+              moments (~3.6 GB f32 for ViT-L), so the single-chip bench
+              runs 2 clients; on a pod the same program hosts 1 client per
+              device.
 """
 
 from __future__ import annotations
@@ -16,7 +29,8 @@ import time
 
 
 def main(num_clients: int = 8, rounds: int = 5, local_steps: int = 4,
-         batch_size: int = 16) -> None:
+         batch_size: int = 16, backbone: str = "vit_base_patch16_224",
+         image_size: int = 224, mode: str = "default") -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,26 +45,29 @@ def main(num_clients: int = 8, rounds: int = 5, local_steps: int = 4,
     from fedvit_tpu.parallel.mesh import client_mesh
 
     cfg = from_dict({
-        "model": {"backbone": "vit_base_patch16_224", "image_size": 224,
+        "model": {"backbone": backbone, "image_size": image_size,
                   "compute_dtype": "bfloat16", "metadata": {"enabled": True}},
         "data": {"use_segmentation_mask": True},
         "training": {"batch_size": batch_size,
                      "gradient_accumulation_steps": 1,
-                     "optimizer": {"lr": 1e-4},
+                     "optimizer": {"lr": 1e-4, "mu_dtype": "bfloat16"},
                      "ema": {"enabled": True}},
         "loss": {"type": "asymmetric"},
         "federated": {"enabled": True, "num_clients": num_clients,
                       "rounds": rounds, "local_steps": local_steps,
-                      "partition": "dirichlet", "dirichlet_alpha": 0.5},
+                      "partition": "dirichlet", "dirichlet_alpha": 0.5,
+                      "augment": True},
     })
 
-    data = make_synthetic_dataset(n=512, image_size=224, seed=0)
+    n_data = max(512, num_clients * local_steps * batch_size)
+    data = make_synthetic_dataset(n=n_data, image_size=image_size, seed=0)
     data["image"] = np.concatenate([data["image"], data["mask"]], axis=-1)
 
     model = build_model(cfg)
     rng = jax.random.key(0)
     v = model.init({"params": rng, "dropout": rng},
-                   jnp.zeros((2, 224, 224, 4)), jnp.zeros((2, 13)))
+                   jnp.zeros((2, image_size, image_size, 4)),
+                   jnp.zeros((2, 13)))
 
     result = train_federated(cfg, model, v, data, eval_data=None,
                              mesh=client_mesh(),
@@ -59,10 +76,14 @@ def main(num_clients: int = 8, rounds: int = 5, local_steps: int = 4,
     steady = float(np.median(times)) if times else float("nan")
     imgs_per_round = num_clients * local_steps * batch_size
     print(json.dumps({
-        "metric": "fedavg_round_walltime_s",
+        "metric": f"fedavg_round_walltime_s"
+                  + ("" if mode == "default" else f"_{mode}"),
         "value": round(steady, 3),
         "unit": "s/round",
         "vs_baseline": None,   # the reference has no federated implementation
+        "mode": mode,
+        "backbone": backbone,
+        "image_size": image_size,
         "num_clients": num_clients,
         "local_steps": local_steps,
         "batch_size": batch_size,
@@ -73,5 +94,23 @@ def main(num_clients: int = 8, rounds: int = 5, local_steps: int = 4,
     }))
 
 
+_MODES = {
+    # driver config #3: FedAvg non-IID, ViT-B (README's standing row)
+    "default": dict(),
+    # driver config #5: 10-client FedAvg — same compiled round the dryrun
+    # shards over an 8-device mesh; num_clients is not tied to device count
+    # on one chip (10 vmapped clients)
+    "clients10": dict(num_clients=10),
+    # driver config #4: ViT-L/16@384 federated fine-tune, per-client
+    # on-device augmentation; 2 clients is the single-chip HBM bound (see
+    # module docstring), bs8 x 2 local steps per round
+    "vitl": dict(num_clients=2, local_steps=2, batch_size=8,
+                 backbone="vit_large_patch16_384", image_size=384),
+}
+
+
 if __name__ == "__main__":
-    main()
+    sel = sys.argv[1] if len(sys.argv) > 1 else "default"
+    if sel not in _MODES:
+        raise SystemExit(f"unknown mode {sel!r}; pick one of {list(_MODES)}")
+    main(mode=sel, **_MODES[sel])

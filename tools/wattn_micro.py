@@ -107,6 +107,17 @@ AB_VARIANTS = [          # measured back-to-back in ONE process per stage —
     ("stats=0", {"FEDVIT_WATTN_STATS": "0"}),
     ("hb=8 vmem=100", {"FEDVIT_WATTN_HB": "8",
                        "FEDVIT_WATTN_VMEM": "100"}),
+    # round-5 stage2-focused candidates (h=24 admits hb 12/24; b=16 admits
+    # gb 8/16 under a raised scoped window)
+    ("hb=12 vmem=100", {"FEDVIT_WATTN_HB": "12",
+                        "FEDVIT_WATTN_VMEM": "110"}),
+    ("hb=24 vmem=110", {"FEDVIT_WATTN_HB": "24",
+                        "FEDVIT_WATTN_VMEM": "110"}),
+    ("gb=8 vmem=100", {"FEDVIT_WATTN_GB": "8",
+                       "FEDVIT_WATTN_VMEM": "100"}),
+    ("delta=1 gb=8 vmem=100", {"FEDVIT_WATTN_DELTA": "1",
+                               "FEDVIT_WATTN_GB": "8",
+                               "FEDVIT_WATTN_VMEM": "100"}),
     ("gf=8 gb=8 vmem=100", {"FEDVIT_WATTN_GF": "8", "FEDVIT_WATTN_GB": "8",
                             "FEDVIT_WATTN_VMEM": "100"}),
     ("base(repeat)", {}),           # drift sentinel
