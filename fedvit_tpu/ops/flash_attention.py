@@ -1140,6 +1140,15 @@ _STATS_HALF = 64
 
 def _wflat_fwd_stats_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref,
                             o_ref, st_ref):
+    # FEDVIT_WATTN_SOFTMAX fwd variants (stats path; stage2 fwd sits at
+    # ~33% of its d=32 cap, far under bwd, so the softmax VPU chain — two
+    # cross-lane reductions + a full-tile normalize per head — is the
+    # suspect):
+    #   max (default): mx reduce → exp → Σ reduce → p·(1/Σ) → PV
+    #   postdiv:       normalize the (N, d) output instead of the (N, N) p
+    #   dotsum:        postdiv + the Σ row-reduce rides the MXU as a
+    #                  p·ones (N,N)x(N,1) matvec — no cross-lane Σ at all
+    variant = os.environ.get("FEDVIT_WATTN_SOFTMAX", "max")
     outs, mxs, invs = [], [], []
     for t in range(hb):
         sl = slice(t * d, (t + 1) * d)
@@ -1150,10 +1159,26 @@ def _wflat_fwd_stats_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref,
         s = s + bm[None]
         mx = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - mx)
-        inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general((p * inv).astype(v_ref.dtype),
-                                v_ref[:, :, sl], _BATCHED_PV,
-                                preferred_element_type=jnp.float32)
+        if variant == "dotsum":
+            ones = jnp.ones((s.shape[-1], 1), jnp.float32)
+            ssum = jax.lax.dot_general(p, ones, (((2,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            inv = 1.0 / ssum
+            o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[:, :, sl],
+                                    _BATCHED_PV,
+                                    preferred_element_type=jnp.float32)
+            o = o * inv
+        elif variant == "postdiv":
+            inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[:, :, sl],
+                                    _BATCHED_PV,
+                                    preferred_element_type=jnp.float32)
+            o = o * inv
+        else:
+            inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general((p * inv).astype(v_ref.dtype),
+                                    v_ref[:, :, sl], _BATCHED_PV,
+                                    preferred_element_type=jnp.float32)
         outs.append(o.astype(o_ref.dtype))
         mxs.append(mx[..., 0])
         invs.append(inv[..., 0])

@@ -590,3 +590,35 @@ def test_qkvb_backward_bf16_accuracy(monkeypatch, delta):
     for a, r, name in zip(grads_p, grads_x, ["qkv", "bias"]):
         np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(r),
                                    rtol=5e-2, atol=5e-2, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("softmax", ["postdiv", "dotsum"])
+def test_wflat_stats_fwd_softmax_variants_match_xla(monkeypatch, softmax):
+    """FEDVIT_WATTN_SOFTMAX fwd variants of the STATS kernel (postdiv:
+    normalize the (N, d) output after PV; dotsum: additionally compute the
+    row sum as a p·ones MXU matvec instead of a cross-lane reduce) must
+    stay exact in f32 — forward AND the stats-consuming backward (the
+    backward recomputes p from the saved mx/inv, so a wrong inv would
+    surface in the gradients too)."""
+    monkeypatch.setenv("FEDVIT_WATTN_STATS", "1")
+    monkeypatch.setenv("FEDVIT_WATTN_SOFTMAX", softmax)
+    w0, b, n, h, e = 2, 3, 49, 2, 32
+    q, k, v = make_windowed(w0, b, n, e, seed=59)
+    rng = np.random.default_rng(61)
+    bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+    mask = jnp.asarray(rng.normal(size=(w0, n, n)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+
+    out_p, vjp_pal = jax.vjp(
+        lambda q, k, v, bi: flash_attention_bias_flat(q, k, v, bi, mask, h,
+                                                      interpret=True),
+        q, k, v, bias)
+    out_x, vjp_xla = jax.vjp(
+        lambda q, k, v, bi: windowed_attention_flat(q, k, v, bi, mask, h,
+                                                    impl="xla"),
+        q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    for a, r, name in zip(vjp_pal(ct), vjp_xla(ct), ["q", "k", "v", "bias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")

@@ -115,6 +115,10 @@ AB_VARIANTS = [          # measured back-to-back in ONE process per stage —
                         "FEDVIT_WATTN_VMEM": "110"}),
     ("gb=8 vmem=100", {"FEDVIT_WATTN_GB": "8",
                        "FEDVIT_WATTN_VMEM": "100"}),
+    ("softmax=postdiv", {"FEDVIT_WATTN_SOFTMAX": "postdiv"}),
+    ("softmax=dotsum", {"FEDVIT_WATTN_SOFTMAX": "dotsum"}),
+    ("softmax=dotsum delta=1", {"FEDVIT_WATTN_SOFTMAX": "dotsum",
+                                "FEDVIT_WATTN_DELTA": "1"}),
     ("delta=1 gb=8 vmem=100", {"FEDVIT_WATTN_DELTA": "1",
                                "FEDVIT_WATTN_GB": "8",
                                "FEDVIT_WATTN_VMEM": "100"}),
