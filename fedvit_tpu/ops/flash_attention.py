@@ -1148,6 +1148,17 @@ def _wflat_fwd_stats_kernel(hb, d, q_ref, k_ref, v_ref, b_ref, m_ref,
     #   postdiv:       normalize the (N, d) output instead of the (N, N) p
     #   dotsum:        postdiv + the Σ row-reduce rides the MXU as a
     #                  p·ones (N,N)x(N,1) matvec — no cross-lane Σ at all
+    #
+    # MEASURED (round 5, stage2 (1,16,576,768,24) one-process A/B, v5e,
+    # drift sentinel fwd 1.3% / bwd 8%): both variants are NEGATIVES.
+    #   base    fwd 1.922 ms (34.4% of d=32 cap)   postdiv fwd 1.915 ms
+    #   dotsum  fwd 4.616 ms — the (N,N)x(N,1) matvec emits a 1-lane MXU
+    #   output tile and serializes against the PV dot; full fwd+bwd 4.85
+    #   vs base 4.51 ms.
+    # Removing the Σ reduce and the (N,N) normalize moved NOTHING → the
+    # fwd's VPU chain is bound by the exp itself (+ the bias/mask adds),
+    # which every softmax formulation keeps. 'max' stays the default; the
+    # variants remain for geometries with cheaper exp/larger d.
     variant = os.environ.get("FEDVIT_WATTN_SOFTMAX", "max")
     outs, mxs, invs = [], [], []
     for t in range(hb):

@@ -128,7 +128,7 @@ AB_VARIANTS = [          # measured back-to-back in ONE process per stage —
 ]
 
 
-def run_ab(stages, only=None):
+def run_ab(stages, only=None, interleave=1):
     # exact tag match: substring matching made `only=stats` select both
     # "base(stats=1)" and "stats=0", which defeats the point of an A/B
     variants = ([v for v in AB_VARIANTS if v[0] in only]
@@ -138,6 +138,9 @@ def run_ab(stages, only=None):
         print(f"only={only!r} matched no variant; known tags: {tags}",
               flush=True)
         return
+    # interleave=N repeats the whole variant list N times (ABAB… rather
+    # than AABB…), so slow wall-clock drift cancels out of the comparison
+    variants = variants * interleave
     for stage in stages:
         for tag, env in variants:
             for k in _ENVKEYS:
@@ -162,8 +165,11 @@ def main():
         rest = [a for a in args[1:] if a in STAGES]
         only = [a.split("=", 1)[1].split(",")
                 for a in args[1:] if a.startswith("only=")]
+        inter = [int(a.split("=", 1)[1])
+                 for a in args[1:] if a.startswith("interleave=")]
         return run_ab(rest or [s for s in STAGES if s != "tiny"],
-                      only=only[0] if only else None)
+                      only=only[0] if only else None,
+                      interleave=inter[0] if inter else 1)
     stages = [a for a in args if a in STAGES or a == "all"]
     knobs = [a for a in args if "=" in a]
     which = (list(s for s in STAGES if s != "tiny")
