@@ -290,17 +290,40 @@ class SwinBlockV2(nn.Module):
         return x
 
 
+class _MergeReduction(nn.Module):
+    """PatchMerging's 4c→2c projection as a 2×2/stride-2 NHWC conv.
+
+    Holds the kernel as the flat (4c, 2c) Dense parameter (`kernel`) so the
+    parameter tree is bit-identical to the previous nn.Dense formulation."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param("kernel", trunc_normal_init, (4 * c, 2 * c))
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.reshape(2, 2, c, 2 * c).astype(self.dtype),
+            window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class PatchMergingV2(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
-                     kernel_init=trunc_normal_init, name="reduction")(x)
-        return LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        # The 2×2 space-to-depth + Dense(4c→2c) IS a 2×2/stride-2 conv: the
+        # explicit reshape→transpose→reshape cost 1.9 ms/step of relayout
+        # copies on SwinV2-L@384 (round-5 trace, swin.py:299-300 rows), while
+        # the conv emitter folds the neighborhood read into its matmul tiling
+        # with no HBM pass. Param tree unchanged — `reduction/kernel` stays
+        # the (4c, 2c) Dense layout (torch import/checkpoints unaffected);
+        # it is reshaped at trace time to HWIO (2, 2, c, 2c), whose
+        # (i, j, ch) flattening matches the old (…, 2, 2, c)→4c concat
+        # order exactly (exactness pinned in test_models.py).
+        y = _MergeReduction(dtype=self.dtype, name="reduction")(x)
+        return LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(y)
 
 
 class SwinStage(nn.Module):

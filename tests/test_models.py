@@ -173,3 +173,31 @@ def test_expand_bias_table_matches_gather():
             w * w, w * w, h).transpose(2, 0, 1)          # (H, w², w²)
         out = np.asarray(expand_bias_table(table, w))
         np.testing.assert_allclose(out, ref, rtol=0, atol=0)
+
+
+def test_patch_merging_conv_matches_dense():
+    """PatchMergingV2's stride-2 conv must equal the space-to-depth + Dense
+    formulation it replaced (round-5 copy-bucket fix), with the SAME flat
+    (4c, 2c) `reduction/kernel` parameter (checkpoint/torch-import layout)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from fedvit_tpu.models.swin import PatchMergingV2
+
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.normal(size=(3, 12, 8, 10)), jnp.float32)
+    m = PatchMergingV2(dtype=jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    assert v["params"]["reduction"]["kernel"].shape == (40, 20)
+    out = m.apply(v, x)
+
+    b, h, w, c = x.shape
+    xr = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xr = xr.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    pre = xr @ v["params"]["reduction"]["kernel"]
+    mean = pre.mean(-1, keepdims=True)
+    var = ((pre - mean) ** 2).mean(-1, keepdims=True)
+    ref = ((pre - mean) / jnp.sqrt(var + 1e-5) * v["params"]["norm"]["scale"]
+           + v["params"]["norm"]["bias"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
