@@ -120,8 +120,13 @@ def make_local_train(cfg: Config, apply_fn: Callable, loss_fn: LossFn,
 
 
 def make_federated_round(cfg: Config, apply_fn: Callable, loss_fn: LossFn,
-                         mesh: Mesh) -> Callable:
+                         mesh: Mesh, donate: bool = True) -> Callable:
     """Build the jitted FedAvg round.
+
+    `donate=True` (default) donates the incoming global params/bstats — the
+    server loop rebinds both to the round's outputs, so keeping the old
+    buffers alive only doubles peak HBM. Pass donate=False when the caller
+    reuses the same input trees across calls (e.g. A/B equivalence tests).
 
     round_fn(global_params, global_bstats, client_batches, client_weights, rng)
         → (new_params, new_bstats, metrics)
@@ -188,7 +193,11 @@ def make_federated_round(cfg: Config, apply_fn: Callable, loss_fn: LossFn,
         out_specs=(replicated, replicated, replicated),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # Without donation each round transiently holds old+new globals — at
+    # ViT-L scale that is the difference between fitting and OOMing a
+    # single 16 GB chip (round-5 measurement, bench_fed vitl). Safe in the
+    # server loop: ema_init clones, assemble returns fresh batches/weights.
+    return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
 
 
 def stack_client_batches(per_client_batches) -> Dict[str, "np.ndarray"]:

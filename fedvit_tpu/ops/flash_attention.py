@@ -1313,7 +1313,12 @@ def _stats_enabled() -> bool:
 
 
 def _delta_enabled() -> bool:
-    return os.environ.get("FEDVIT_WATTN_DELTA", "0") == "1"
+    # Default ON (round 5): interleaved one-process A/B at stage2 (the
+    # SwinV2-L depth-18 stage) — delta wins 2/3 adjacent pairs and the
+    # means (full fwd+bwd 4.80 vs 5.05 ms, bwd 2.99 vs 3.16 ms); stage1
+    # neutral within drift. Matches the earlier round-5 session's −17.4%
+    # stage2 bwd. FEDVIT_WATTN_DELTA=0 restores the stats-only backward.
+    return os.environ.get("FEDVIT_WATTN_DELTA", "1") == "1"
 
 
 def _wflat_fwd_rule_vjp(q, k, v, bias, mask, num_heads, interpret):

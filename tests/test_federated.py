@@ -137,12 +137,12 @@ def test_fedavg_matches_single_device_semantics():
     key = jax.random.key(7)
 
     mesh8 = client_mesh()
-    round8 = make_federated_round(cfg, model.apply, loss_fn, mesh8)
+    round8 = make_federated_round(cfg, model.apply, loss_fn, mesh8, donate=False)
     p8, _, m8 = round8(variables["params"], variables["batch_stats"],
                        stacked, jnp.asarray(w), key)
 
     mesh1 = make_mesh([1], ["client"], jax.devices()[:1])
-    round1 = make_federated_round(cfg, model.apply, loss_fn, mesh1)
+    round1 = make_federated_round(cfg, model.apply, loss_fn, mesh1, donate=False)
     p1, _, m1 = round1(variables["params"], variables["batch_stats"],
                        stacked, jnp.asarray(w), key)
 
@@ -211,14 +211,14 @@ def test_hybrid_mesh_round_matches_client_only_mesh():
                 else P("client")))
             for k, v in stacked.items()}
 
-    round_h = make_federated_round(cfg, model.apply, loss_fn, hmesh)
+    round_h = make_federated_round(cfg, model.apply, loss_fn, hmesh, donate=False)
     ph, _, mh = round_h(variables["params"], variables.get("batch_stats", {}),
                         shard_for(hmesh), jnp.asarray(w), key)
 
     # (a) same logical 2-D mesh built directly — must be bit-identical
     # (hybrid_mesh only changes which physical device sits where)
     mesh_2d = make_mesh([2, 4], ["client", "data"], jax.devices()[:8])
-    round_2d = make_federated_round(cfg, model.apply, loss_fn, mesh_2d)
+    round_2d = make_federated_round(cfg, model.apply, loss_fn, mesh_2d, donate=False)
     p2, _, m2 = round_2d(variables["params"], variables.get("batch_stats", {}),
                          shard_for(mesh_2d), jnp.asarray(w), key)
     for a, b in zip(jax.tree.leaves(ph), jax.tree.leaves(p2)):
@@ -231,7 +231,7 @@ def test_hybrid_mesh_round_matches_client_only_mesh():
     # O(lr) sign flips, so exact param equality across different reduction
     # orders is not a meaningful contract.
     mesh_c = make_mesh([2], ["client"], jax.devices()[:2])
-    round_c = make_federated_round(cfg, model.apply, loss_fn, mesh_c)
+    round_c = make_federated_round(cfg, model.apply, loss_fn, mesh_c, donate=False)
     pc, _, mc = round_c(variables["params"], variables.get("batch_stats", {}),
                         stacked, jnp.asarray(w), key)
     assert abs(float(mh["loss"]) - float(mc["loss"])) < 1e-4 * (
