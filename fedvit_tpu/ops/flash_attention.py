@@ -588,13 +588,28 @@ def _qkvb_bwd_delta_kernel(nheads, e, scale, qkv_ref, b_ref, st_ref, o_ref,
         db_ref[:] = db_ref[:] + dsum
 
 
-def _qkvb_stats_enabled(num_heads: int) -> bool:
-    return (os.environ.get("FEDVIT_QKVB_STATS", "0") == "1"
-            and num_heads <= _STATS_HALF)
+_QKVB_AUTO_N = 384
 
 
-def _qkvb_delta_enabled() -> bool:
-    return os.environ.get("FEDVIT_QKVB_DELTA", "0") == "1"
+def _qkvb_stats_enabled(num_heads: int, n: int) -> bool:
+    """Geometry-aware default: stats backward ON at large N.
+
+    End-to-end on v5e (round 5): ViT-L@384 (N=577) with stats+delta runs
+    **114.6 img/s bs24 / 66.8% MFU** vs 108.4 / 63.1% plain — the backward's
+    softmax recompute (max/sum reductions over (577, 640) f32 tiles ×16
+    heads) is the dominant VPU chain at this N, and the saved-stats + delta
+    identity delete it. ViT-B@224 (N=197) measured NEUTRAL for stats in the
+    round-4 e2e A/B, so small-N keeps the plain recompute backward (its
+    (197, 256) tiles cost little and the stats write is pure overhead).
+    FEDVIT_QKVB_STATS=1/0 forces either way."""
+    env = os.environ.get("FEDVIT_QKVB_STATS")
+    on = (n >= _QKVB_AUTO_N) if env is None else (env == "1")
+    return on and num_heads <= _STATS_HALF
+
+
+def _qkvb_delta_enabled(n: int) -> bool:
+    env = os.environ.get("FEDVIT_QKVB_DELTA")
+    return (n >= _QKVB_AUTO_N) if env is None else (env == "1")
 
 
 def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
@@ -611,7 +626,7 @@ def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
     kwargs = _scoped_vmem_kwargs(
         _flat_live_bytes(g, n, e, qkv.dtype.itemsize, 4, 2)
         + n * 3 * e * qkv.dtype.itemsize, interp, floor_mb=20)
-    if not _qkvb_stats_enabled(num_heads):
+    if not _qkvb_stats_enabled(num_heads, n):
         out = pl.pallas_call(
             functools.partial(_qkvb_fwd_kernel, num_heads, e, scale),
             grid=(b // g,),
@@ -643,7 +658,7 @@ def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
         interpret=interp,
         **st_kwargs,
     )(qkv, bias2)
-    return out, (qkv, bias, stats, out if _qkvb_delta_enabled() else None)
+    return out, (qkv, bias, stats, out if _qkvb_delta_enabled(n) else None)
 
 
 def _qkvb_bwd_rule(num_heads, interpret, res, grad_out):
