@@ -27,6 +27,7 @@ so its gradient flows through XLA.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -291,21 +292,37 @@ class SwinBlockV2(nn.Module):
 
 
 class _MergeReduction(nn.Module):
-    """PatchMerging's 4c→2c projection as a 2×2/stride-2 NHWC conv.
+    """PatchMerging's 4c→2c projection: space-to-depth + matmul, or a
+    2×2/stride-2 NHWC conv (FEDVIT_MERGE_CONV=1) — mathematically equal.
 
     Holds the kernel as the flat (4c, 2c) Dense parameter (`kernel`) so the
-    parameter tree is bit-identical to the previous nn.Dense formulation."""
+    parameter tree is bit-identical across both formulations (torch
+    import/checkpoints unaffected).
+
+    The conv form deletes the explicit reshape→transpose→reshape (1.9
+    ms/step of relayout copies on SwinV2-L@384, round-5 trace) — but the
+    same trace shows the conv's layout preferences LEAK into the
+    surrounding graph: new relayout copies appear at the DropPath backward
+    (+1.15 ms, {3,0,2,1} cotangents), the stage-0 LayerNorm convert
+    (0.23 → 1.13 ms) and the attn-proj add (0.28 → 0.85 ms), for a NET
+    copy-bucket loss (13.9 → 16.1 ms/step). Default stays the explicit
+    space-to-depth whose copies at least stay local."""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         kernel = self.param("kernel", trunc_normal_init, (4 * c, 2 * c))
-        return jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.reshape(2, 2, c, 2 * c).astype(self.dtype),
-            window_strides=(2, 2), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if os.environ.get("FEDVIT_MERGE_CONV", "0") == "1":
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.reshape(2, 2, c, 2 * c).astype(self.dtype),
+                window_strides=(2, 2), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, h, w, _ = x.shape
+        y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        return (y.astype(self.dtype) @ kernel.astype(self.dtype))
 
 
 class PatchMergingV2(nn.Module):
