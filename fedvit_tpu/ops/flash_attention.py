@@ -608,8 +608,12 @@ def _qkvb_stats_enabled(num_heads: int, n: int) -> bool:
 
 
 def _qkvb_delta_enabled(n: int) -> bool:
-    env = os.environ.get("FEDVIT_QKVB_DELTA")
-    return (n >= _QKVB_AUTO_N) if env is None else (env == "1")
+    # delta measured REDUNDANT on top of stats at ViT-L@384 (stats-only
+    # 114.9 img/s bs24 vs stats+delta 114.6, bs16 111.0 vs 109.5 — the
+    # o_ref block read cancels the row-reduce saving, same finding as the
+    # windowed kernel). Default off; FEDVIT_QKVB_DELTA=1 forces it.
+    del n
+    return os.environ.get("FEDVIT_QKVB_DELTA", "0") == "1"
 
 
 def _qkvb_fwd_rule(qkv, bias, num_heads, interpret):
