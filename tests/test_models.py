@@ -175,10 +175,12 @@ def test_expand_bias_table_matches_gather():
         np.testing.assert_allclose(out, ref, rtol=0, atol=0)
 
 
-def test_patch_merging_conv_matches_dense():
-    """PatchMergingV2's stride-2 conv must equal the space-to-depth + Dense
-    formulation it replaced (round-5 copy-bucket fix), with the SAME flat
-    (4c, 2c) `reduction/kernel` parameter (checkpoint/torch-import layout)."""
+def test_patch_merging_conv_matches_dense(monkeypatch):
+    """PatchMergingV2's two formulations — explicit space-to-depth (default)
+    and the stride-2 conv (FEDVIT_MERGE_CONV=1, kept as a measured e2e
+    negative, README round-5 lever 2) — must both equal the reference
+    space-to-depth + Dense math, sharing the SAME flat (4c, 2c)
+    `reduction/kernel` parameter (checkpoint/torch-import layout)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -189,7 +191,12 @@ def test_patch_merging_conv_matches_dense():
     m = PatchMergingV2(dtype=jnp.float32)
     v = m.init(jax.random.key(0), x)
     assert v["params"]["reduction"]["kernel"].shape == (40, 20)
+    monkeypatch.delenv("FEDVIT_MERGE_CONV", raising=False)
     out = m.apply(v, x)
+    monkeypatch.setenv("FEDVIT_MERGE_CONV", "1")
+    out_conv = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_conv), np.asarray(out),
+                               rtol=0, atol=2e-5)
 
     b, h, w, c = x.shape
     xr = x.reshape(b, h // 2, 2, w // 2, 2, c)
