@@ -100,7 +100,9 @@ _BENCH_MODELS = {
         "image_size": 384,
         "drop_path_rate": 0.1,
         "llrd_decay": 0.75,
-        "batch_candidates": [16, 24, 8],
+        # measured-best-first (round 5, stats backward): 32 → 117.1,
+        # 24 → 115.1, 48 → 113.2 (fits, slower), 16 → 111.2, 8 → 98.2
+        "batch_candidates": [32, 24, 16, 8],
         "fwd_flops": _vit_fwd_flops(384, 1024, 24),
         "has_baseline": False,
     },
