@@ -100,15 +100,16 @@ _MODES = {
     # driver config #5: 10-client FedAvg — same compiled round the dryrun
     # shards over an 8-device mesh; num_clients is not tied to device count
     # on one chip (10 vmapped clients). bs8 is the single-chip HBM bound:
-    # at bs16 the 10 resident clients OOM a 16 GB v5e after a few rounds
-    # (measured round 5 — the config targets a v4-8 where clients shard
-    # ~2-3 per device).
+    # at bs16 the 10 resident clients OOM a 16 GB v5e — measured both
+    # before AND after the round donated its globals (the config targets
+    # a v4-8 where clients shard ~2-3 per device).
     "clients10": dict(num_clients=10, batch_size=8),
     # driver config #4: ViT-L/16@384 federated fine-tune, per-client
-    # on-device augmentation; bs4 × 2 local steps is the measured
-    # single-chip bound — at bs8 the two resident vmapped ViT-L client
-    # states + the server state OOM a 16 GB v5e in round 1 (round-5
-    # measurement; the config targets multi-chip where clients shard)
+    # on-device augmentation. bs4 × 2 local steps is the measured
+    # single-chip OPTIMUM: pre-donation, bs8 OOM'd a 16 GB v5e in round 1;
+    # with the round donating globals bs8 FITS but runs slower per image
+    # (22.5 vs 27.6 img/s — memory-pressure spills), so bs4 stays.
+    # (The config targets multi-chip where clients shard.)
     "vitl": dict(num_clients=2, local_steps=2, batch_size=4,
                  backbone="vit_large_patch16_384", image_size=384),
 }
