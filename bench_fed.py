@@ -30,7 +30,8 @@ import time
 
 def main(num_clients: int = 8, rounds: int = 5, local_steps: int = 4,
          batch_size: int = 16, backbone: str = "vit_base_patch16_224",
-         image_size: int = 224, mode: str = "default") -> None:
+         image_size: int = 224, mode: str = "default",
+         loss_type: str = "asymmetric", class_weights: bool = False) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,7 +53,7 @@ def main(num_clients: int = 8, rounds: int = 5, local_steps: int = 4,
                      "gradient_accumulation_steps": 1,
                      "optimizer": {"lr": 1e-4, "mu_dtype": "bfloat16"},
                      "ema": {"enabled": True}},
-        "loss": {"type": "asymmetric"},
+        "loss": {"type": loss_type, "class_weights": class_weights},
         "federated": {"enabled": True, "num_clients": num_clients,
                       "rounds": rounds, "local_steps": local_steps,
                       "partition": "dirichlet", "dirichlet_alpha": 0.5,
@@ -95,8 +96,13 @@ def main(num_clients: int = 8, rounds: int = 5, local_steps: int = 4,
 
 
 _MODES = {
-    # driver config #3: FedAvg non-IID, ViT-B (README's standing row)
+    # driver config #3 (standing README row): FedAvg non-IID, ViT-B,
+    # 8 clients
     "default": dict(),
+    # driver config #3 LITERAL shape: "FedAvg 4-client non-IID class-skewed
+    # split, ViT-B/16, weighted CE + focal loss (losses.py)" — the focal
+    # loss with 1/count class weights, 4 Dirichlet clients
+    "clients4": dict(num_clients=4, loss_type="focal", class_weights=True),
     # driver config #5: 10-client FedAvg — same compiled round the dryrun
     # shards over an 8-device mesh; num_clients is not tied to device count
     # on one chip (10 vmapped clients). bs8 is the single-chip HBM bound:

@@ -109,7 +109,15 @@ def train_federated(
         f"that tiles the device mesh (each device hosts num_clients/"
         f"{axis_size} clients)")
 
-    loss_fn = build_loss(cfg)
+    class_w = None
+    if cfg.loss.class_weights:
+        # balanced weights from the SERVER's global training labels — every
+        # client optimizes the same objective (a per-client reweighting
+        # would change the FedAvg fixed point under non-IID splits)
+        from fedvit_tpu.data.sampling import compute_class_weights
+        class_w = jnp.asarray(compute_class_weights(
+            np.asarray(train_data["label"]), cfg.num_classes))
+    loss_fn = build_loss(cfg, class_w)
     round_fn = make_federated_round(cfg, model.apply, loss_fn, mesh)
 
     # --- partition data over clients ---------------------------------------

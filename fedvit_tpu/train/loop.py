@@ -217,7 +217,16 @@ def train_fold(cfg: Config, fold: int, train_source, val_source,
     macro_bs = t.batch_size * accum
     opt_steps_per_epoch = max(1, len(train_source) // macro_bs)
 
-    loss_fn = build_loss(cfg)
+    class_w = None
+    if cfg.loss.class_weights:
+        # balanced weights from the TRAIN split only (old-gen semantics,
+        # reference train_old.py: compute_class_weights over fold train
+        # labels); previously `loss.class_weights: true` silently no-op'd —
+        # build_loss was never handed the weights it gates on
+        from fedvit_tpu.data.sampling import compute_class_weights
+        class_w = jnp.asarray(
+            compute_class_weights(train_source.labels, cfg.num_classes))
+    loss_fn = build_loss(cfg, class_w)
     # build params first (tx needs the param tree only for LLRD scales)
     model, state0 = init_model_state(cfg, optax_identity(), cfg.seed + fold)
     params0, stats0 = state0.params, state0.batch_stats

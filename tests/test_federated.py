@@ -402,3 +402,37 @@ def test_federated_checkpoint_atomic_crash_windows(tmp_path):
     np.testing.assert_allclose(got["params"]["w"], params["w"] + 2)
     assert not (Path(base) / "fed_ckpt.tmp").exists()
     assert not (Path(base) / "fed_ckpt.old").exists()
+
+
+def test_class_weights_reach_the_federated_loss(monkeypatch):
+    """`loss.class_weights: true` must hand balanced weights (computed from
+    the server's global train labels) to build_loss — this silently no-op'd
+    before round 5 (build_loss was called without its weights argument)."""
+    import dataclasses
+    import jax.numpy as jnp
+    import fedvit_tpu.fed.server as server_mod
+    from fedvit_tpu.data.sampling import compute_class_weights
+
+    cfg = fed_cfg(num_clients=8, rounds=1)
+    cfg = cfg.replace(loss=dataclasses.replace(cfg.loss, class_weights=True))
+    model = build_model(cfg)
+    rng = jax.random.key(0)
+    import jax.numpy as jnp2
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp2.zeros((2, 32, 32, 3)), jnp2.zeros((2, 13)))
+    data = make_synthetic_dataset(n=256, image_size=32, seed=0)
+
+    captured = {}
+    real = server_mod.build_loss
+
+    def spy(c, class_weights=None):
+        captured["w"] = class_weights
+        return real(c, class_weights)
+
+    monkeypatch.setattr(server_mod, "build_loss", spy)
+    train_federated(cfg, model, variables, data, eval_data=None,
+                    mesh=client_mesh(), log_fn=lambda s: None)
+    assert captured["w"] is not None, "weights never reached build_loss"
+    expect = compute_class_weights(np.asarray(data["label"]),
+                                   cfg.num_classes)
+    np.testing.assert_allclose(np.asarray(captured["w"]), expect, rtol=1e-6)

@@ -190,3 +190,31 @@ def test_accumulation_contract(tmp_path, sources):
     meta = ckpt.load_checkpoint(str(tmp_path / "resume_fold7"), state)
     assert int(meta["state"].step) == 128 // (8 * 2), (
         f"expected 8 optimizer steps, got {int(meta['state'].step)}")
+
+
+def test_class_weights_reach_the_fold_loss(tmp_path, sources, monkeypatch):
+    """`loss.class_weights: true` must hand balanced weights (computed from
+    the fold's TRAIN labels only) to build_loss — silently no-op'd before
+    round 5 (same fix as the federated path)."""
+    import dataclasses
+    import fedvit_tpu.train.loop as loop_mod
+    from fedvit_tpu.data.sampling import compute_class_weights
+
+    train, val, test = sources
+    cfg = loop_cfg(tmp_path, epochs=1)
+    cfg = cfg.replace(loss=dataclasses.replace(cfg.loss, class_weights=True))
+
+    captured = {}
+    real = loop_mod.build_loss
+
+    def spy(c, class_weights=None):
+        captured["w"] = class_weights
+        return real(c, class_weights)
+
+    monkeypatch.setattr(loop_mod, "build_loss", spy)
+    res = train_fold(cfg, 0, train, val, test, workdir=str(tmp_path),
+                     log=lambda s: None)
+    assert np.isfinite(res.logits).all()
+    assert captured["w"] is not None, "weights never reached build_loss"
+    expect = compute_class_weights(train.labels, cfg.num_classes)
+    np.testing.assert_allclose(np.asarray(captured["w"]), expect, rtol=1e-6)
