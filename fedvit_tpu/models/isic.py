@@ -50,6 +50,12 @@ class ISICClassifier(nn.Module):
     seg_encoder_channels: tuple = (64, 128, 256, 512)
     seg_decoder_channels: tuple = (256, 128, 64, 32)
     fusion_type: str = "attention"
+    # old-gen JointLoss mode (loss.seg_weight > 0): the mask rides the
+    # batch's 4th canvas channel (so it shares the paired geometric
+    # augmentation) but is a TARGET, not an input — the model consumes
+    # only the first `in_channels` channels (reference old-gen HybridViT
+    # takes the 3-ch image; train_old.py supervises the seg branch)
+    mask_as_target: bool = False
     # compute
     compute_dtype: str = "bfloat16"
     attention_impl: str = "auto"
@@ -97,6 +103,8 @@ class ISICClassifier(nn.Module):
         """x: (B, H, W, C); metadata: (B, 13) flat vector (current gen) or
         metadata_raw: {"age","sex","site"} (old-gen embedding style)."""
         outputs: Dict[str, jnp.ndarray] = {}
+        if self.mask_as_target:
+            x = x[..., : self.in_channels]
         features = self.backbone(x, deterministic=deterministic)  # (B, D)
         outputs["features"] = features
 
@@ -137,13 +145,21 @@ def _dt(name: str):
 
 def build_model(cfg: Config) -> ISICClassifier:
     """Factory from typed config (parity: reference model.py:302-324 —
-    in_channels = 4 iff data.use_segmentation_mask)."""
+    in_channels = 4 iff data.use_segmentation_mask).
+
+    Old-gen JointLoss mode: `loss.seg_weight > 0` with the seg branch
+    enabled keeps the backbone at 3 input channels and treats the batch's
+    4th (mask) channel as the BCE-Dice target instead of an input
+    (train/step.py adds the seg term; reference train_old.py:392-396)."""
     m = cfg.model
+    joint = (m.segmentation.enabled and cfg.loss.seg_weight > 0
+             and cfg.data.use_segmentation_mask)
     return ISICClassifier(
         backbone_name=m.backbone,
         num_classes=m.num_classes,
         image_size=m.image_size,
-        in_channels=cfg.in_channels,
+        in_channels=3 if joint else cfg.in_channels,
+        mask_as_target=joint,
         # pretrained weights arrive via model.pretrained_path (a converted
         # checkpoint loaded at fold start); only warn when the user asked for
         # pretrained=true without providing one

@@ -25,7 +25,8 @@ import optax
 
 from fedvit_tpu.core.config import Config
 from fedvit_tpu.train.ema import ema_update
-from fedvit_tpu.train.losses import LossFn, mixup_criterion
+from fedvit_tpu.train.losses import (LossFn, bce_dice_loss,
+                                     mixup_criterion)
 from fedvit_tpu.train.mixup import mixup, mixup_cutmix
 from fedvit_tpu.train.state import TrainState
 
@@ -80,6 +81,17 @@ def make_train_step(cfg: Config, loss_fn: LossFn,
         "mixup" if mixup_on else
         "cutmix" if cutmix_on else "none")
 
+    # old-gen JointLoss (reference train_old.py:392-396): the mask rides the
+    # 4th canvas channel through the paired augmentation as a TARGET (the
+    # model consumes only the RGB channels — models/isic.py mask_as_target);
+    # the augment normalizes the mask channel to (x−.5)/.5, inverted here
+    # so BCE-Dice sees [0, 1] targets. Mix (mixup/cutmix) blends the target
+    # channel with the same λ as the image — the seg objective stays
+    # consistent with the mixed input.
+    seg_w = (float(cfg.loss.seg_weight)
+             if cfg.model.segmentation.enabled
+             and cfg.data.use_segmentation_mask else 0.0)
+
     def _apply_mix(rng, images, labels):
         if mix_mode == "both":
             return mixup_cutmix(rng, images, labels, aug.mixup.alpha,
@@ -119,6 +131,10 @@ def make_train_step(cfg: Config, loss_fn: LossFn,
                 loss = loss_fn(logits, mb_labels)
             else:
                 loss = mixup_criterion(loss_fn, logits, la, lb, lam)
+            if seg_w > 0.0:
+                seg_target = mb_images[..., 3:4] * 0.5 + 0.5
+                loss = loss + seg_w * bce_dice_loss(out["seg_mask"],
+                                                    seg_target)
             return loss, mutated.get("batch_stats", batch_stats)
 
         new_rng, step_rng = jax.random.split(state.rng)

@@ -262,3 +262,57 @@ def test_ema_params_track_but_lag(setup):
     d_ema = float(jnp.abs(e_now - p0).mean())
     d_par = float(jnp.abs(p_now - p0).mean())
     assert 0 < d_ema < d_par
+
+
+def test_joint_seg_loss_wired():
+    """Old-gen JointLoss (`loss.seg_weight` > 0 + seg branch): the train
+    step must supervise the seg branch against the batch's 4th (mask)
+    channel, and the model must NOT consume that channel as input
+    (reference old-gen HybridViT: 3-ch input, mask is a target).
+    `loss.seg_weight` silently no-op'd before round 5."""
+    cfg = tiny_cfg(
+        model={"segmentation": {"enabled": True,
+                                "encoder_channels": [8, 16],
+                                "decoder_channels": [16, 8]}},
+        data={"use_segmentation_mask": True},
+        loss={"type": "ce", "seg_weight": 0.3},
+        augmentation={"mixup": {"enabled": False},
+                      "cutmix": {"enabled": False}},
+    )
+    model = build_model(cfg)
+    assert model.mask_as_target and model.in_channels == 3
+    rng = jax.random.key(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((2, 32, 32, 4)), jnp.zeros((2, 13)))
+    loss_fn = build_loss(cfg)
+    tx, _ = build_optimizer(cfg, variables["params"], steps_per_epoch=4)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables["batch_stats"], tx, jax.random.key(1))
+    train_step = make_train_step(cfg, loss_fn, donate=False)
+
+    r = np.random.default_rng(0)
+    img3 = r.uniform(-1, 1, size=(8, 32, 32, 3)).astype(np.float32)
+    labels = jnp.asarray(r.integers(0, 8, size=(8,)), jnp.int32)
+    meta = jnp.asarray(r.uniform(size=(8, 13)), jnp.float32)
+
+    def run(mask01):
+        m = np.full((8, 32, 32, 1), mask01, np.float32) * 2.0 - 1.0  # norm'd
+        batch = {"image": jnp.asarray(np.concatenate([img3, m], -1)),
+                 "label": labels, "metadata": meta}
+        _, metrics = train_step(state, batch)
+        return float(metrics["loss"])
+
+    l0, l1 = run(0.0), run(1.0)
+    assert np.isfinite(l0) and np.isfinite(l1)
+    # the seg term reads the target channel → different targets, different loss
+    assert abs(l0 - l1) > 1e-4, f"seg target ignored: {l0} vs {l1}"
+
+    # the model itself is blind to the 4th channel (mask_as_target strips it)
+    x0 = jnp.asarray(np.concatenate([img3, np.zeros((8, 32, 32, 1),
+                                                    np.float32)], -1))
+    x1 = jnp.asarray(np.concatenate([img3, np.ones((8, 32, 32, 1),
+                                                   np.float32)], -1))
+    out0 = model.apply(variables, x0, meta, deterministic=True)
+    out1 = model.apply(variables, x1, meta, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out0["logits"]),
+                                  np.asarray(out1["logits"]))
