@@ -11,6 +11,7 @@ Evaluation and server-side EMA happen between rounds.
 from __future__ import annotations
 
 import copy
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
@@ -109,6 +110,13 @@ def train_federated(
         f"that tiles the device mesh (each device hosts num_clients/"
         f"{axis_size} clients)")
 
+    # Measured (round 5, v5e, bench_fed vitl — ViT-L@384, 2 vmapped clients
+    # × scan'd local steps): the large-N softmax-stats attention backward
+    # that wins single-model training (+7.6% on bench.py vitl) runs 2.7×
+    # SLOWER under this vmap(clients)+scan(steps) composition (1.021 vs
+    # 0.383 s/round). Default the federated process to the plain recompute
+    # backward; an explicit user env always wins.
+    os.environ.setdefault("FEDVIT_QKVB_STATS", "0")
     class_w = None
     if cfg.loss.class_weights:
         # balanced weights from the SERVER's global training labels — every
